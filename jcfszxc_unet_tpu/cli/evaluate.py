@@ -1,0 +1,152 @@
+"""Evaluation CLI — drop-in equivalent of the reference's ``evaluate.py``
+(flags/defaults per evaluate.py:349-404): grid-tiled inference over the test
+split, count-averaged stitching, FOV masking, per-image Dice (plus AUC,
+additive per BASELINE.md) and PNG artifacts to demo/ and the output dir.
+
+The patch grid + stitch runs entirely on device (eval/tiling.py); only the
+final per-image maps come back to the host for PNG writing.
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from jcfszxc_unet_tpu.data.loading import (
+    display_dataset_info,
+    load_preprocessed_data,
+    visualize_samples,
+)
+from jcfszxc_unet_tpu.eval.metrics import binary_dice, roc_auc
+from jcfszxc_unet_tpu.eval.tiling import tiled_predict
+from jcfszxc_unet_tpu.train import checkpoint as ckpt
+from jcfszxc_unet_tpu.train.losses import dice_coeff
+from jcfszxc_unet_tpu.utils.seed import set_seed
+from jcfszxc_unet_tpu.utils.vis import save_grayscale, save_triptych
+
+
+def eval_model(
+    model,
+    variables,
+    output_dir: str,
+    input_data: str = "./data/test_eye_dataset.h5",
+    seed: int = 42,
+    patch_size: int = 256,
+    inference_batch_size: int = 32,
+    compute_dtype=jnp.float32,
+    visualize: bool = True,
+    compute_auc: bool = True,
+):
+    """Tiled evaluation; returns (mean_dice, per_image_dice, mean_auc).
+
+    Protocol per reference eval_model (evaluate.py:164-346): grid centers at
+    stride half_patch, sigmoid on raw outputs, count-averaged stitch, FOV
+    mask multiply, binarize > 0.5, per-image dice, mean printed.
+    """
+    set_seed(seed)
+    dataset = load_preprocessed_data(input_data)
+    display_dataset_info(dataset)
+    if visualize:
+        visualize_samples(dataset, num_samples=3)
+
+    images = jnp.asarray(np.asarray(dataset["images"], np.float32))
+    masks = np.asarray(dataset["masks"], np.float32)
+    labels = np.asarray(dataset["labels"], np.float32)
+    n_test = images.shape[0]
+
+    def forward(batch):
+        out = model.apply(variables, batch.astype(compute_dtype), train=False)
+        return jax.nn.sigmoid(out.astype(jnp.float32))
+
+    pred_maps = tiled_predict(forward, images, patch_size, inference_batch_size)
+    pred_maps = pred_maps * jnp.asarray(masks)  # FOV mask (evaluate.py:309)
+
+    aucs = []
+    if compute_auc:
+        auc_fn = jax.jit(roc_auc)
+        for i in range(n_test):
+            aucs.append(float(auc_fn(pred_maps[i], jnp.asarray(labels[i]),
+                                     jnp.asarray(masks[i]))))
+
+    pred_np = np.asarray(pred_maps)
+    dice_fn = jax.jit(lambda p, t: dice_coeff(p, t, reduce_batch_first=False))
+    dice_scores = []
+    for i in range(n_test):
+        pred_img = pred_np[i]
+        if visualize:
+            save_grayscale(pred_img, f"demo/prediction_{i}.png")
+            save_grayscale(labels[i], f"demo/label_{i}.png")
+            save_triptych(
+                np.asarray(dataset["images"][i], np.float32),
+                pred_img,
+                labels[i],
+                f"{output_dir}/prediction_{i}.png",
+            )
+        binary = (pred_img > 0.5).astype(np.float32)
+        dice_scores.append(float(dice_fn(jnp.asarray(binary), jnp.asarray(labels[i]))))
+
+    mean_dice = float(np.mean(dice_scores)) if dice_scores else 0.0
+    print(f"Average Dice Score: {mean_dice:.4f}")
+    if aucs:
+        print(f"Average AUC: {float(np.mean(aucs)):.4f}")
+    return mean_dice, dice_scores, (float(np.mean(aucs)) if aucs else None)
+
+
+def get_args(argv=None):
+    parser = argparse.ArgumentParser(
+        description="Predict on full images using the trained model"
+    )
+    parser.add_argument("--model", "-m", type=str, default="best_model.ckpt",
+                        help="Path to the model checkpoint")
+    parser.add_argument("--data-file", "-d", type=str,
+                        default="./data/test_eye_dataset.h5",
+                        help="Path to the h5 dataset")
+    parser.add_argument("--output-dir", "-o", type=str, default="./predictions",
+                        help="Directory to save predictions")
+    parser.add_argument("--batch-size", "-b", type=int, default=4,
+                        help="Batch size for prediction")
+    parser.add_argument("--patch-size", "-p", type=int, default=512,
+                        help="Size of patches for prediction")
+    parser.add_argument("--overlap", type=float, default=0.5,
+                        help="Overlap between patches (0-1; sliding-window "
+                             "predictor only)")
+    parser.add_argument("--num-images", "-n", type=int, default=5,
+                        help="Number of images to process (sliding-window "
+                             "predictor only)")
+    parser.add_argument("--image-indices", "-i", type=str, default=None,
+                        help="Comma-separated image indices (sliding-window "
+                             "predictor only)")
+    parser.add_argument("--inference-batch-size", type=int, default=32,
+                        help="Batch size for inference")
+    parser.add_argument("--dtype", type=str, default="bfloat16",
+                        choices=["bfloat16", "float32"], help="Compute dtype")
+    return parser.parse_args(argv)
+
+
+def main(argv=None):
+    args = get_args(argv)
+    logging.basicConfig(level=logging.INFO, format="%(levelname)s: %(message)s")
+    os.makedirs(args.output_dir, exist_ok=True)
+    os.makedirs("demo", exist_ok=True)
+    logging.info(f"Using devices: {jax.devices()}")
+    logging.info(f"Loading model from {args.model}")
+    compute_dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    model, variables, _ = ckpt.load_model(args.model, dtype=compute_dtype)
+    eval_model(
+        model=model,
+        variables=variables,
+        input_data=args.data_file,
+        inference_batch_size=args.inference_batch_size,
+        output_dir=args.output_dir,
+        patch_size=args.patch_size,
+        compute_dtype=compute_dtype,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,308 @@
+"""Training CLI — drop-in equivalent of the reference's ``train.py``
+(flags and defaults per train.py:419-487), plus a ``--model`` flag backed by
+the registry instead of the reference's edit-the-source model selection
+(train.py:505-523), and TPU-specific extras (--dtype, --devices,
+--profile-dir).
+
+Host/device split per epoch: ONE jitted program runs all ``steps`` training
+steps (sampling included), one jitted program runs validation; the host only
+does scheduling, early stopping, checkpointing and PNG artifacts.
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from jcfszxc_unet_tpu.data.loading import (
+    display_dataset_info,
+    load_preprocessed_data,
+    visualize_samples,
+)
+from jcfszxc_unet_tpu.data.sampler import build_grid_sample_map, build_train_sample_map
+from jcfszxc_unet_tpu.models import create_model
+from jcfszxc_unet_tpu.parallel.mesh import make_mesh, put_replicated
+from jcfszxc_unet_tpu.train import checkpoint as ckpt
+from jcfszxc_unet_tpu.train.optim import (
+    ReduceLROnPlateau,
+    get_current_lr,
+    make_optimizer,
+    set_current_lr,
+)
+from jcfszxc_unet_tpu.train.state import create_train_state
+from jcfszxc_unet_tpu.train.trainer import build_val_patches, make_epoch_fn, make_val_fn
+from jcfszxc_unet_tpu.utils.seed import set_seed
+from jcfszxc_unet_tpu.utils.vis import save_triptych
+
+
+def train_model(
+    model,
+    model_name: str,
+    model_kwargs: dict,
+    input_data: str = "./data/train_eye_dataset.h5",
+    steps: int = 100,
+    batch_size: int = 32,
+    learning_rate: float = 1e-6,
+    val_percent: float = 0.1,
+    patch_size: int = 128,
+    weight_decay: float = 1e-8,
+    momentum: float = 0.999,
+    seed: int = 42,
+    early_stopping_patience: int = 20,
+    save_path: str = "best_model.ckpt",
+    compute_dtype=jnp.bfloat16,
+    mesh=None,
+    max_epochs: int | None = None,
+    visualize: bool = True,
+    profile_dir: str | None = None,
+    init_variables=None,
+):
+    """Run the reference training protocol end-to-end; returns best dice.
+
+    Mirrors train.py:47-416: shuffled val split, vessel-guided random
+    128^2 patches, ½BCE+½Dice, RMSprop+plateau schedule, early stopping on
+    val dice, best-checkpoint-on-improvement.
+    """
+    key = set_seed(seed)
+    dataset = load_preprocessed_data(input_data)
+    display_dataset_info(dataset)
+    if visualize:
+        visualize_samples(dataset, num_samples=3)
+
+    n_samples = len(dataset["images"])
+    n_val = int(n_samples * val_percent)
+    indices = np.arange(n_samples)
+    np.random.shuffle(indices)  # same host-RNG protocol as train.py:79
+    val_idx, train_idx = indices[:n_val], indices[n_val:]
+
+    images = np.asarray(dataset["images"], np.float32)
+    masks = np.asarray(dataset["masks"], np.float32)
+    labels = np.asarray(dataset["labels"], np.float32)[..., None]
+
+    half_patch = patch_size // 2
+    train_map = build_train_sample_map(masks[train_idx], half_patch)
+    n, h, w = masks[val_idx].shape if n_val else (0, *masks.shape[1:])
+    val_map = build_grid_sample_map(n, h, w, half_patch)
+
+    logging.info(
+        f"Starting training:\n"
+        f"  Batch size:      {batch_size}\n"
+        f"  Learning rate:   {learning_rate}\n"
+        f"  Training size:   {len(train_idx)}\n"
+        f"  Validation size: {n_val}\n"
+        f"  Patch size:      {patch_size}\n"
+        f"  Steps/epoch:     {steps}\n"
+        f"  Devices:         {1 if mesh is None else mesh.size}\n"
+        f"  Compute dtype:   {jnp.dtype(compute_dtype).name}"
+    )
+
+    # HBM-resident pools (replicated across the mesh; batches get sharded).
+    train_images = put_replicated(jnp.asarray(images[train_idx]), mesh)
+    train_labels = put_replicated(jnp.asarray(labels[train_idx]), mesh)
+    train_map_dev = put_replicated(jnp.asarray(train_map), mesh)
+    val_imgs, val_labs = build_val_patches(
+        images[val_idx], labels[val_idx], val_map, patch_size
+    )
+    val_imgs = put_replicated(val_imgs, mesh)
+    val_labs = put_replicated(val_labs, mesh)
+
+    n_classes = model.n_classes
+    tx = make_optimizer(learning_rate, weight_decay, momentum)
+    state = create_train_state(
+        model, tx, key, jnp.zeros((1, patch_size, patch_size, images.shape[-1]),
+                                  compute_dtype),
+    )
+    if init_variables is not None:  # --load resume path
+        state = state.replace(
+            params=jax.tree.map(jnp.asarray, init_variables["params"]),
+            batch_stats=jax.tree.map(
+                jnp.asarray, init_variables.get("batch_stats", {})
+            ),
+        )
+    state = state.replace(
+        params=put_replicated(state.params, mesh),
+        batch_stats=put_replicated(state.batch_stats, mesh),
+        opt_state=put_replicated(state.opt_state, mesh),
+    )
+
+    epoch_fn = make_epoch_fn(
+        model, tx, n_classes=n_classes, batch_size=batch_size,
+        patch_size=patch_size, steps=steps, compute_dtype=compute_dtype,
+        mesh=mesh,
+    )
+    val_fn = make_val_fn(model, patch_size=patch_size,
+                         compute_dtype=compute_dtype, mesh=mesh)
+    scheduler = ReduceLROnPlateau(factor=0.7, patience=5, threshold=0.01, cooldown=2)
+
+    best_dice = 0.0
+    patience_counter = 0
+    epoch = 0
+    data_key = jax.random.fold_in(key, 0xDA7A)
+
+    if profile_dir:
+        jax.profiler.start_trace(profile_dir)
+
+    while True:
+        epoch += 1
+        if max_epochs is not None and epoch > max_epochs:
+            break
+        data_key, epoch_key = jax.random.split(data_key)
+        t0 = time.time()
+        state, train_metrics = epoch_fn(
+            state, train_images, train_labels, train_map_dev, epoch_key
+        )
+        metrics, probs = val_fn(state.params, state.batch_stats, val_imgs, val_labs)
+        # single host sync point per epoch
+        epoch_loss = float(train_metrics["epoch_loss"])
+        skipped = int(train_metrics["skipped"])
+        dice = float(metrics["dice"])
+        dice_avg = float(metrics["dice_avg"])
+        dt = time.time() - t0
+        pps = steps * batch_size / dt  # patches/sec (train phase incl. val)
+
+        lr = get_current_lr(state.opt_state)
+        new_lr = scheduler.step(dice, lr)
+        if new_lr != lr:
+            state = state.replace(opt_state=set_current_lr(state.opt_state, new_lr))
+            logging.info(f"Plateau scheduler: lr {lr:.2e} -> {new_lr:.2e}")
+
+        if dice > best_dice:
+            best_dice = dice
+            patience_counter = 0
+            ckpt.save_model(save_path, model_name, model_kwargs,
+                            state.params, state.batch_stats)
+        else:
+            patience_counter += 1
+            print(
+                f"Dice score did not improve. Patience: "
+                f"{patience_counter}/{early_stopping_patience}"
+            )
+            if patience_counter >= early_stopping_patience:
+                print(
+                    f"Early stopping triggered after {epoch} epochs. "
+                    f"Best dice score: {best_dice:.4f}"
+                )
+                break
+
+        print(
+            f"Epoch {epoch} - "
+            f"LR: {new_lr:.2e} - "
+            f"Loss: {epoch_loss / steps:.4g} - "
+            f"Dice: {dice:.4g} - "
+            f"Avg Dice: {dice_avg:.4g} - "
+            f"Best Dice: {best_dice:.4g} - "
+            f"{pps:.0f} patches/s"
+            + (f" - skipped {skipped} NaN steps" if skipped else "")
+        )
+
+        if visualize and val_imgs.shape[0] > 0:
+            sample_num = min(100, val_imgs.shape[0] - 1)
+            save_triptych(
+                np.asarray(val_imgs[sample_num], np.float32),
+                np.asarray(probs[sample_num, ..., 0]),
+                np.asarray(val_labs[sample_num, ..., 0]),
+                f"visualizations/{epoch:03d}_{sample_num:03d}.png",
+            )
+
+    if profile_dir:
+        jax.profiler.stop_trace()
+    return best_dice
+
+
+def get_args(argv=None):
+    parser = argparse.ArgumentParser(
+        description="Train a UNet-family model on DRIVE patches (TPU-native)"
+    )
+    parser.add_argument("--data-file", "-d", type=str,
+                        default="./data/train_eye_dataset.h5",
+                        help="Path to the h5 dataset")
+    parser.add_argument("--batch-size", "-b", dest="batch_size", metavar="B",
+                        type=int, default=32, help="Batch size")
+    parser.add_argument("--learning-rate", "-l", metavar="LR", type=float,
+                        default=1e-6, help="Learning rate", dest="lr")
+    parser.add_argument("--load", "-f", type=str, default=False,
+                        help="Load model from a checkpoint file")
+    parser.add_argument("--validation", "-v", dest="val", type=float,
+                        default=10.0,
+                        help="Percent of the data used as validation (0-100)")
+    parser.add_argument("--patch-size", "-p", dest="patch_size", type=int,
+                        default=128, help="Size of training patches")
+    parser.add_argument("--steps", "-s", type=int, default=100,
+                        help="Number of steps per epoch")
+    parser.add_argument("--seed", type=int, default=42, help="Random seed")
+    parser.add_argument("--early-stopping-patience", "-esp",
+                        dest="early_stopping_patience", type=int, default=20,
+                        help="Epochs with no improvement before stopping")
+    # Additions over the reference CLI:
+    parser.add_argument("--model", "-m", type=str, default="UNet.UNet",
+                        help="Registry model name (e.g. UNet.UNet, "
+                             "BCDUNet.BCDU_net_D3)")
+    parser.add_argument("--save-path", type=str, default="best_model.ckpt",
+                        help="Best-checkpoint output path")
+    parser.add_argument("--dtype", type=str, default="bfloat16",
+                        choices=["bfloat16", "float32"],
+                        help="Compute dtype (params stay float32)")
+    parser.add_argument("--devices", type=int, default=0,
+                        help="Data-parallel device count (0 = all)")
+    parser.add_argument("--max-epochs", type=int, default=0,
+                        help="Optional epoch cap (0 = until early stopping)")
+    parser.add_argument("--profile-dir", type=str, default=None,
+                        help="Write a jax.profiler trace here")
+    return parser.parse_args(argv)
+
+
+def main(argv=None):
+    args = get_args(argv)
+    logging.basicConfig(level=logging.INFO, format="%(levelname)s: %(message)s")
+    logging.info(f"Using devices: {jax.devices()}")
+
+    n_dev = args.devices or len(jax.devices())
+    mesh = make_mesh(n_dev) if n_dev > 1 else None
+    compute_dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+
+    init_variables = None
+    if args.load:
+        model, init_variables, cfg = ckpt.load_model(args.load, dtype=compute_dtype)
+        model_name, model_kwargs = cfg["model_name"], cfg["model_kwargs"]
+        logging.info(f"Model loaded from {args.load}")
+    else:
+        model_name = args.model
+        model_kwargs = {}
+        if model_name.startswith("BCDUNet."):
+            model_kwargs["N"] = args.patch_size  # train.py:518-519 contract
+        model = create_model(model_name, dtype=compute_dtype, **model_kwargs)
+
+    logging.info(
+        f"Network:\n\t{model.n_channels} input channels\n"
+        f"\t{model.n_classes} output channels (classes)\n"
+    )
+    os.makedirs("visualizations", exist_ok=True)
+    train_model(
+        model=model,
+        model_name=model_name,
+        model_kwargs=model_kwargs,
+        input_data=args.data_file,
+        steps=args.steps,
+        batch_size=args.batch_size,
+        learning_rate=args.lr,
+        val_percent=args.val / 100,
+        patch_size=args.patch_size,
+        seed=args.seed,
+        early_stopping_patience=args.early_stopping_patience,
+        save_path=args.save_path,
+        compute_dtype=compute_dtype,
+        mesh=mesh,
+        max_epochs=args.max_epochs or None,
+        profile_dir=args.profile_dir,
+        init_variables=init_variables,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,123 @@
+"""On-device tiled inference: patch grid -> batched forward -> scatter-add
+stitch -> count-average.
+
+The reference does this with host loops and per-minibatch D2H copies
+(evaluate.py:225-307).  Here the grid patches are gathered on device
+(data/sampler.extract_patches), the forward runs in fixed-size chunks under
+one jit, and the stitch is an on-device ``fori_loop`` of
+dynamic_slice/dynamic_update_slice adds — count-averaging exactly like
+evaluate.py:291-307.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from jcfszxc_unet_tpu.data.sampler import build_grid_sample_map, extract_patches
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4))
+def stitch_patches(
+    probs: jnp.ndarray,
+    centers: jnp.ndarray,
+    n_images: int,
+    image_h: int,
+    image_w: int,
+):
+    """Scatter-add (B, P, P) probabilities into (N, H, W) canvases and
+    count-average overlaps (reference evaluate.py:291-307).
+
+    Sequential fori_loop over patches: B is small (tens) and each step is a
+    dynamic_update_slice — cheap, on-device, and race-free by construction.
+    """
+    patch = probs.shape[1]
+    half = patch // 2
+    canvas = jnp.zeros((n_images, image_h, image_w), jnp.float32)
+    counts = jnp.zeros((n_images, image_h, image_w), jnp.float32)
+
+    def body(k, carry):
+        canvas, counts = carry
+        c = centers[k]
+        start = (c[0], c[1] - half, c[2] - half)
+        cur = jax.lax.dynamic_slice(canvas, start, (1, patch, patch))
+        canvas = jax.lax.dynamic_update_slice(
+            canvas, cur + probs[k][None].astype(jnp.float32), start
+        )
+        cnt = jax.lax.dynamic_slice(counts, start, (1, patch, patch))
+        counts = jax.lax.dynamic_update_slice(counts, cnt + 1.0, start)
+        return canvas, counts
+
+    canvas, counts = jax.lax.fori_loop(0, probs.shape[0], body, (canvas, counts))
+    return jnp.where(counts > 0, canvas / jnp.maximum(counts, 1.0), 0.0)
+
+
+def tiled_predict(
+    forward: Callable[[jnp.ndarray], jnp.ndarray],
+    images: jnp.ndarray,
+    patch_size: int,
+    inference_batch_size: int = 32,
+):
+    """Full-image prediction by grid tiling + stitching.
+
+    ``forward`` maps (B, P, P, C) -> (B, P, P, 1) *probabilities* (sigmoid
+    applied by the caller, matching evaluate.py:282's unconditional sigmoid).
+    Returns (N, H, W) stitched probability maps.
+    """
+    n, h, w, _ = images.shape
+    grid = build_grid_sample_map(n, h, w, patch_size // 2)
+    centers = jnp.asarray(grid)
+    patches = extract_patches(images, centers, patch_size)
+
+    # Chunked forward with a fixed chunk size (pad the tail) so one compiled
+    # program serves every chunk.
+    total = patches.shape[0]
+    bs = min(inference_batch_size, total)
+    n_chunks = -(-total // bs)
+    pad = n_chunks * bs - total
+    if pad:
+        patches = jnp.concatenate([patches, patches[:pad]], axis=0)
+    chunks = patches.reshape(n_chunks, bs, *patches.shape[1:])
+    probs = jax.lax.map(forward, chunks)
+    probs = probs.reshape(n_chunks * bs, *probs.shape[2:])[:total]
+    probs = jnp.squeeze(probs, axis=-1)
+    return stitch_patches(probs, centers, n, h, w)
+
+
+def sliding_window_predict(
+    forward: Callable[[jnp.ndarray], jnp.ndarray],
+    image: jnp.ndarray,
+    patch_size: int = 256,
+    overlap: float = 0.5,
+    batch_size: int = 4,
+):
+    """Single-image sliding-window predictor with configurable overlap —
+    the API equivalent of the reference's (unused) ``predict_full_image``
+    (evaluate.py:28-96): top-left-anchored windows at stride
+    patch*(1-overlap), count-averaged; uncovered border pixels stay 0.
+    """
+    h, w, _ = image.shape
+    step = int(patch_size * (1 - overlap))
+    ys = list(range(0, h - patch_size + 1, step))
+    xs = list(range(0, w - patch_size + 1, step))
+    half = patch_size // 2
+    centers = np.array(
+        [(0, y + half, x + half) for y in ys for x in xs], dtype=np.int32
+    )
+    centers = jnp.asarray(centers)
+    patches = extract_patches(image[None], centers, patch_size)
+    total = patches.shape[0]
+    bs = min(batch_size, total)
+    n_chunks = -(-total // bs)
+    pad = n_chunks * bs - total
+    if pad:
+        patches = jnp.concatenate([patches, patches[:pad]], axis=0)
+    chunks = patches.reshape(n_chunks, bs, *patches.shape[1:])
+    probs = jax.lax.map(forward, chunks)
+    probs = probs.reshape(n_chunks * bs, *probs.shape[2:])[:total]
+    probs = jnp.squeeze(probs, axis=-1)
+    return stitch_patches(probs, centers, 1, h, w)[0]

@@ -1,0 +1,95 @@
+"""NestedUNet (UNet++) — nested dense skip grid with bilinear upsampling.
+Reference: UNetFamily/UNetPP.py:31-107.
+
+Uses UNetPP's *private* DoubleConv (UNetPP.py:15-28) whose convs have bias
+(unlike the shared bias-free DoubleConv).  ``deepsupervision`` is hard-coded
+False in the reference (UNetPP.py:38); we expose it as a ctor flag with the
+same default and the same 4-head behavior when enabled.  Sigmoid output.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from jcfszxc_unet_tpu.ops.layers import (
+    BatchNorm2d,
+    Conv2d,
+    max_pool2d,
+    upsample_bilinear,
+)
+
+
+class _DoubleConvBias(nn.Module):
+    """UNetPP.py:15-28 — (Conv3x3 bias -> BN -> ReLU) x2."""
+
+    in_ch: int
+    out_ch: int
+    dtype: Optional[Any] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        x = Conv2d(self.in_ch, self.out_ch, 3, padding=1, dtype=self.dtype)(x)
+        x = BatchNorm2d(self.out_ch, dtype=self.dtype)(x, train)
+        x = nn.relu(x)
+        x = Conv2d(self.out_ch, self.out_ch, 3, padding=1, dtype=self.dtype)(x)
+        x = BatchNorm2d(self.out_ch, dtype=self.dtype)(x, train)
+        return nn.relu(x)
+
+
+class NestedUNet(nn.Module):
+    in_channel: int = 3
+    out_channel: int = 1
+    deepsupervision: bool = False
+    dtype: Optional[Any] = None
+
+    @property
+    def n_channels(self):
+        return self.in_channel
+
+    @property
+    def n_classes(self):
+        return self.out_channel
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        dt = self.dtype
+        nb = [32, 64, 128, 256, 512]
+        up = lambda t: upsample_bilinear(t, 2, align_corners=True)
+        cat = lambda *ts: jnp.concatenate(ts, axis=-1)
+
+        def dc(name, cin, cout):
+            return _DoubleConvBias(cin, cout, dtype=dt, name=name)
+
+        x0_0 = dc("conv0_0", self.in_channel, nb[0])(x, train)
+        x1_0 = dc("conv1_0", nb[0], nb[1])(max_pool2d(x0_0), train)
+        x0_1 = dc("conv0_1", nb[0] + nb[1], nb[0])(cat(x0_0, up(x1_0)), train)
+
+        x2_0 = dc("conv2_0", nb[1], nb[2])(max_pool2d(x1_0), train)
+        x1_1 = dc("conv1_1", nb[1] + nb[2], nb[1])(cat(x1_0, up(x2_0)), train)
+        x0_2 = dc("conv0_2", nb[0] * 2 + nb[1], nb[0])(cat(x0_0, x0_1, up(x1_1)), train)
+
+        x3_0 = dc("conv3_0", nb[2], nb[3])(max_pool2d(x2_0), train)
+        x2_1 = dc("conv2_1", nb[2] + nb[3], nb[2])(cat(x2_0, up(x3_0)), train)
+        x1_2 = dc("conv1_2", nb[1] * 2 + nb[2], nb[1])(cat(x1_0, x1_1, up(x2_1)), train)
+        x0_3 = dc("conv0_3", nb[0] * 3 + nb[1], nb[0])(
+            cat(x0_0, x0_1, x0_2, up(x1_2)), train)
+
+        x4_0 = dc("conv4_0", nb[3], nb[4])(max_pool2d(x3_0), train)
+        x3_1 = dc("conv3_1", nb[3] + nb[4], nb[3])(cat(x3_0, up(x4_0)), train)
+        x2_2 = dc("conv2_2", nb[2] * 2 + nb[3], nb[2])(cat(x2_0, x2_1, up(x3_1)), train)
+        x1_3 = dc("conv1_3", nb[1] * 3 + nb[2], nb[1])(
+            cat(x1_0, x1_1, x1_2, up(x2_2)), train)
+        x0_4 = dc("conv0_4", nb[0] * 4 + nb[1], nb[0])(
+            cat(x0_0, x0_1, x0_2, x0_3, up(x1_3)), train)
+
+        if self.deepsupervision:
+            outs = []
+            for i, xi in enumerate([x0_1, x0_2, x0_3, x0_4], start=1):
+                o = Conv2d(nb[0], self.out_channel, 1, dtype=dt, name=f"final{i}")(xi)
+                outs.append(nn.sigmoid(o))
+            return outs
+        out = Conv2d(nb[0], self.out_channel, 1, dtype=dt, name="final")(x0_4)
+        return nn.sigmoid(out)

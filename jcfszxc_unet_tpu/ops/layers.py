@@ -1,0 +1,334 @@
+"""TPU-native layer primitives with PyTorch-compatible semantics.
+
+Everything is NHWC (TPU-native layout; the reference is NCHW+channels_last,
+which on CUDA is the same memory layout — here NHWC is first-class).
+
+These wrappers exist so the block library (ops/blocks.py) can state reference
+semantics (reference: UNetFamily/utils/unet_parts.py) once and get:
+  * torch-default parameter init (ops/initializers.py),
+  * torch BatchNorm running-stat conventions (momentum flipped vs Flax),
+  * torch ConvTranspose2d padding/output_padding geometry,
+  * torch Upsample nearest / bilinear(align_corners=True) resizing,
+  * max-pooling with argmax capture + unpooling (SegNet, reference
+    SegNet.py:89-138) without any dynamic scatter.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence, Tuple, Union
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from jcfszxc_unet_tpu.ops import initializers as tinit
+
+Dtype = Any
+
+
+def _pair(v) -> Tuple[int, int]:
+    if isinstance(v, (tuple, list)):
+        return (int(v[0]), int(v[1]))
+    return (int(v), int(v))
+
+
+class Conv2d(nn.Module):
+    """torch.nn.Conv2d equivalent on NHWC tensors.
+
+    ``padding`` accepts an int (symmetric), a pair, or "same".
+    """
+
+    in_channels: int
+    out_channels: int
+    kernel_size: Union[int, Tuple[int, int]]
+    stride: Union[int, Tuple[int, int]] = 1
+    padding: Union[int, Tuple[int, int], str] = 0
+    dilation: Union[int, Tuple[int, int]] = 1
+    groups: int = 1
+    use_bias: bool = True
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        kh, kw = _pair(self.kernel_size)
+        if isinstance(self.padding, str):
+            padding = self.padding.upper()
+        else:
+            ph, pw = _pair(self.padding)
+            padding = [(ph, ph), (pw, pw)]
+        fan_in = (self.in_channels // self.groups) * kh * kw
+        conv = nn.Conv(
+            features=self.out_channels,
+            kernel_size=(kh, kw),
+            strides=_pair(self.stride),
+            padding=padding,
+            kernel_dilation=_pair(self.dilation),
+            feature_group_count=self.groups,
+            use_bias=self.use_bias,
+            kernel_init=tinit.conv_kernel_init,
+            bias_init=tinit.conv_bias_init_for(fan_in),
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            name="conv",
+        )
+        return conv(x)
+
+
+class ConvTranspose2d(nn.Module):
+    """torch.nn.ConvTranspose2d equivalent on NHWC tensors.
+
+    Emulates torch geometry: out = (in-1)*stride - 2*padding + kernel
+    + output_padding, by running a VALID fractionally-strided conv and
+    slicing off ``padding`` from each border (zero-padding the tail if
+    ``output_padding`` reaches past the scatter extent).
+    """
+
+    in_channels: int
+    out_channels: int
+    kernel_size: Union[int, Tuple[int, int]]
+    stride: Union[int, Tuple[int, int]] = 1
+    padding: Union[int, Tuple[int, int]] = 0
+    output_padding: Union[int, Tuple[int, int]] = 0
+    use_bias: bool = True
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        kh, kw = _pair(self.kernel_size)
+        sh, sw = _pair(self.stride)
+        ph, pw = _pair(self.padding)
+        oph, opw = _pair(self.output_padding)
+        fan_in = self.out_channels * kh * kw  # torch's transposed-conv fan-in
+        conv = nn.ConvTranspose(
+            features=self.out_channels,
+            kernel_size=(kh, kw),
+            strides=(sh, sw),
+            padding="VALID",
+            use_bias=self.use_bias,
+            kernel_init=tinit.conv_transpose_kernel_init,
+            bias_init=tinit.conv_bias_init_for(fan_in),
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            name="conv",
+        )
+        y = conv(x)
+        n, hv, wv, c = y.shape
+        h_in, w_in = x.shape[1], x.shape[2]
+        h_out = (h_in - 1) * sh - 2 * ph + kh + oph
+        w_out = (w_in - 1) * sw - 2 * pw + kw + opw
+        # Pad tail if output_padding reaches past the VALID extent.
+        pad_h = max(0, ph + h_out - hv)
+        pad_w = max(0, pw + w_out - wv)
+        if pad_h or pad_w:
+            y = jnp.pad(y, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
+        return y[:, ph : ph + h_out, pw : pw + w_out, :]
+
+
+class BatchNorm2d(nn.Module):
+    """torch.nn.BatchNorm2d equivalent (NHWC channel axis -1).
+
+    torch ``momentum`` m updates running <- (1-m)*running + m*batch, i.e.
+    Flax momentum = 1 - torch momentum.  The ``train`` flag selects batch
+    statistics (torch .train()) vs running statistics (torch .eval()).
+    """
+
+    num_features: int
+    eps: float = 1e-5
+    momentum: float = 0.1  # torch convention
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        bn = nn.BatchNorm(
+            use_running_average=not train,
+            momentum=1.0 - self.momentum,
+            epsilon=self.eps,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            name="bn",
+        )
+        return bn(x)
+
+
+class BatchNorm1d(nn.Module):
+    """torch.nn.BatchNorm1d equivalent for (N, C) activations."""
+
+    num_features: int
+    eps: float = 1e-5
+    momentum: float = 0.1
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        bn = nn.BatchNorm(
+            use_running_average=not train,
+            momentum=1.0 - self.momentum,
+            epsilon=self.eps,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            name="bn",
+        )
+        return bn(x)
+
+
+class Linear(nn.Module):
+    """torch.nn.Linear equivalent."""
+
+    in_features: int
+    out_features: int
+    use_bias: bool = True
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        dense = nn.Dense(
+            features=self.out_features,
+            use_bias=self.use_bias,
+            kernel_init=tinit.linear_kernel_init,
+            bias_init=tinit.conv_bias_init_for(self.in_features),
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            name="linear",
+        )
+        return dense(x)
+
+
+# ---------------------------------------------------------------------------
+# Stateless spatial ops
+# ---------------------------------------------------------------------------
+
+
+def max_pool2d(x, kernel_size=2, stride=None):
+    """torch F.max_pool2d (floor mode, no padding) on NHWC."""
+    k = _pair(kernel_size)
+    s = _pair(stride if stride is not None else kernel_size)
+    return nn.max_pool(x, window_shape=k, strides=s, padding="VALID")
+
+
+def avg_pool2d(x, kernel_size, stride=None, padding=0):
+    """torch F.avg_pool2d with count_include_pad=True (torch default)."""
+    k = _pair(kernel_size)
+    s = _pair(stride if stride is not None else kernel_size)
+    p = _pair(padding)
+    return nn.avg_pool(
+        x,
+        window_shape=k,
+        strides=s,
+        padding=[(p[0], p[0]), (p[1], p[1])],
+        count_include_pad=True,
+    )
+
+
+def adaptive_avg_pool_1x1(x, keepdims: bool = True):
+    """torch nn.AdaptiveAvgPool2d(1) on NHWC."""
+    return jnp.mean(x, axis=(1, 2), keepdims=keepdims)
+
+
+def adaptive_max_pool_1x1(x, keepdims: bool = True):
+    """torch nn.AdaptiveMaxPool2d(1) on NHWC."""
+    return jnp.max(x, axis=(1, 2), keepdims=keepdims)
+
+
+def max_pool2d_with_indices(x):
+    """2x2/stride-2 max pool capturing the within-window argmax (NHWC).
+
+    Replaces torch ``F.max_pool2d(..., return_indices=True)`` (reference
+    SegNet.py:89-112).  Because kernel == stride (non-overlapping windows),
+    a window-local argmax in {0,1,2,3} carries the same information as
+    torch's flat index; the paired :func:`max_unpool2d` consumes it.
+    Even input sizes assumed (SegNet requires H, W divisible by 32).
+    Returns (pooled, onehot) with onehot shape (N, H/2, W/2, 4, C).
+    """
+    n, h, w, c = x.shape
+    xw = x.reshape(n, h // 2, 2, w // 2, 2, c)
+    xw = xw.transpose(0, 1, 3, 2, 4, 5).reshape(n, h // 2, w // 2, 4, c)
+    pooled = jnp.max(xw, axis=3)
+    # One-hot of the *first* max (torch argmax picks the first on ties).
+    is_max = xw == pooled[:, :, :, None, :]
+    first = jnp.cumsum(is_max.astype(jnp.int32), axis=3) == 1
+    onehot = (is_max & first).astype(x.dtype)
+    return pooled, onehot
+
+
+def max_unpool2d(x, onehot):
+    """Inverse of :func:`max_pool2d_with_indices` — scatter values back to
+    their argmax positions, zeros elsewhere (torch F.max_unpool2d,
+    reference SegNet.py:115-138)."""
+    n, h2, w2, c = x.shape
+    y = x[:, :, :, None, :] * onehot  # (N, H/2, W/2, 4, C)
+    y = y.reshape(n, h2, w2, 2, 2, c).transpose(0, 1, 3, 2, 4, 5)
+    return y.reshape(n, h2 * 2, w2 * 2, c)
+
+
+def upsample_nearest(x, scale: int = 2):
+    """torch nn.Upsample(scale_factor=s, mode='nearest') on NHWC."""
+    x = jnp.repeat(x, scale, axis=1)
+    return jnp.repeat(x, scale, axis=2)
+
+
+def _linear_resize_weights(in_size: int, out_size: int, align_corners: bool):
+    if out_size == 1:
+        src = jnp.zeros((1,), jnp.float32)
+    elif align_corners:
+        src = jnp.arange(out_size, dtype=jnp.float32) * (
+            (in_size - 1) / (out_size - 1)
+        )
+    else:
+        scale = in_size / out_size
+        src = jnp.maximum((jnp.arange(out_size, dtype=jnp.float32) + 0.5) * scale - 0.5, 0.0)
+        src = jnp.minimum(src, in_size - 1)
+    lo = jnp.floor(src).astype(jnp.int32)
+    hi = jnp.minimum(lo + 1, in_size - 1)
+    frac = src - lo.astype(jnp.float32)
+    return lo, hi, frac
+
+
+def upsample_bilinear(x, scale: int = 2, align_corners: bool = True):
+    """torch nn.Upsample(mode='bilinear') on NHWC.
+
+    align_corners=True matches reference Up_v1 (unet_parts.py:429) and
+    NestedUNet's shared ``up`` (UNetPP.py:43).
+    """
+    n, h, w, c = x.shape
+    oh, ow = h * scale, w * scale
+    lo_h, hi_h, fh = _linear_resize_weights(h, oh, align_corners)
+    lo_w, hi_w, fw = _linear_resize_weights(w, ow, align_corners)
+    fh = fh[None, :, None, None].astype(x.dtype)
+    fw = fw[None, None, :, None].astype(x.dtype)
+    top = x[:, lo_h, :, :]
+    bot = x[:, hi_h, :, :]
+    rows = top * (1 - fh) + bot * fh
+    left = rows[:, :, lo_w, :]
+    right = rows[:, :, hi_w, :]
+    return left * (1 - fw) + right * fw
+
+
+def pad_or_crop_to(x, target_h: int, target_w: int):
+    """torch F.pad with possibly-negative pads (reference unet_parts.py:65-67,
+    444-447): center-pad when the target is larger, center-crop when smaller.
+    Torch puts the extra element of an odd difference on the trailing side of
+    the leading half (pad = [d//2, d - d//2] with leading = d//2)."""
+    n, h, w, c = x.shape
+    dh, dw = target_h - h, target_w - w
+
+    def lead(d):
+        return d // 2 if d >= 0 else -((-d) // 2)
+
+    lh, lw = dh // 2 if dh >= 0 else -((-dh) // 2), dw // 2 if dw >= 0 else -((-dw) // 2)
+    # Positive part: pad; negative: crop.
+    pad_h = (max(lh, 0), max(dh - lh, 0))
+    pad_w = (max(lw, 0), max(dw - lw, 0))
+    if any(p > 0 for p in pad_h + pad_w):
+        x = jnp.pad(x, ((0, 0), pad_h, pad_w, (0, 0)))
+    crop_h0 = max(-lh, 0)
+    crop_w0 = max(-lw, 0)
+    return x[:, crop_h0 : crop_h0 + target_h, crop_w0 : crop_w0 + target_w, :]
+
+
+def dropout2d(x, rate: float, deterministic: bool, rng=None):
+    """torch nn.Dropout2d — drops whole channels (NHWC: broadcast over H, W)."""
+    if deterministic or rate == 0.0:
+        return x
+    keep = 1.0 - rate
+    mask = jax.random.bernoulli(rng, keep, (x.shape[0], 1, 1, x.shape[3]))
+    return jnp.where(mask, x / keep, 0.0).astype(x.dtype)

@@ -1,0 +1,110 @@
+"""Checkpointing — the contract equivalent of the reference's
+``torch.save(model, "best_model.pth")`` (the *whole* model, not a
+state_dict, train.py:374) consumed by both resume (train.py:500-503) and
+evaluation (evaluate.py:421).
+
+A checkpoint here is one self-describing file: a msgpack payload holding
+the registry model name, ctor kwargs, params and batch_stats (and
+optionally opt-state pieces for exact training resume, the analogue of
+train-demo.py:597-604's state-dict bundle).  ``load_model`` reconstructs
+the model from the registry — drop-in for "load the whole model from a
+path".  An Orbax-based directory format is also provided for
+production-scale async checkpointing.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import numpy as np
+from flax import serialization
+
+
+def _to_numpy_tree(tree):
+    return jax.tree.map(lambda x: np.asarray(x), tree)
+
+
+def save_model(
+    path: str,
+    model_name: str,
+    model_kwargs: Dict[str, Any],
+    params,
+    batch_stats,
+    extra: Optional[Dict[str, Any]] = None,
+) -> str:
+    """Write a single-file checkpoint.  ``extra`` may carry optimizer state
+    or scheduler metadata for exact resume."""
+    payload = {
+        "config": json.dumps(
+            {"model_name": model_name, "model_kwargs": model_kwargs}
+        ),
+        "params": _to_numpy_tree(params),
+        "batch_stats": _to_numpy_tree(batch_stats),
+    }
+    if extra:
+        payload["extra"] = _to_numpy_tree(extra)
+    data = serialization.msgpack_serialize(payload)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(data)
+    os.replace(tmp, path)  # atomic best-checkpoint update
+    return path
+
+
+def load_model(path: str, dtype=None) -> Tuple[Any, Dict[str, Any], Dict[str, Any]]:
+    """Reconstruct (model, variables, config) from a checkpoint file.
+
+    variables = {"params": ..., "batch_stats": ...}; the model comes from
+    the registry using the stored name/kwargs — the behavioral equivalent
+    of ``torch.load(path)`` returning a ready model.  ``dtype`` optionally
+    overrides the compute dtype of the rebuilt model.
+    """
+    from jcfszxc_unet_tpu.models import create_model
+
+    with open(path, "rb") as f:
+        payload = serialization.msgpack_restore(f.read())
+    config = json.loads(payload["config"])
+    kwargs = dict(config["model_kwargs"])
+    if dtype is not None:
+        kwargs["dtype"] = dtype
+    model = create_model(config["model_name"], **kwargs)
+    variables = {
+        "params": payload["params"],
+        "batch_stats": payload.get("batch_stats", {}),
+    }
+    return model, variables, config
+
+
+def load_extra(path: str) -> Optional[Dict[str, Any]]:
+    """Fetch the optional resume payload (optimizer state etc.)."""
+    with open(path, "rb") as f:
+        payload = serialization.msgpack_restore(f.read())
+    return payload.get("extra")
+
+
+# ---------------------------------------------------------------------------
+# Orbax directory checkpoints (production path: async, sharded-aware)
+# ---------------------------------------------------------------------------
+
+
+def save_orbax(ckpt_dir: str, state_tree) -> None:
+    """Write an Orbax PyTree checkpoint (directory format)."""
+    import orbax.checkpoint as ocp
+
+    ckpt_dir = os.path.abspath(ckpt_dir)
+    with ocp.PyTreeCheckpointer() as ckptr:
+        ckptr.save(ckpt_dir, state_tree, force=True)
+
+
+def restore_orbax(ckpt_dir: str, template=None):
+    """Restore an Orbax PyTree checkpoint."""
+    import orbax.checkpoint as ocp
+
+    ckpt_dir = os.path.abspath(ckpt_dir)
+    with ocp.PyTreeCheckpointer() as ckptr:
+        if template is not None:
+            return ckptr.restore(ckpt_dir, item=template)
+        return ckptr.restore(ckpt_dir)

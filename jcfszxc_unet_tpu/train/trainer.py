@@ -1,0 +1,185 @@
+"""Training engine — the TPU-native re-expression of the reference's
+``train_model`` (train.py:47-416).
+
+Differences in *mechanism* (same behavior):
+  * The reference's per-step host loop (numpy patch slicing + H2D copy,
+    train.py:201-253) becomes an on-device ``lax.scan`` over the whole
+    epoch: sampling, patch gather, forward/backward and the optimizer
+    update all run inside ONE jitted program per epoch.
+  * CUDA AMP + GradScaler (train.py:123) becomes bf16 compute with f32
+    params — no loss scaling needed on TPU.
+  * The NaN guards that `continue` past bad steps (train.py:259-294) become
+    a branchless ``jnp.where`` that keeps the previous params/opt-state
+    when the loss is non-finite (batch-stats still update, matching torch
+    where BN stats mutate during the forward that preceded the skip).
+  * Validation (train.py:313-353) runs the full val patch set in fixed-size
+    chunks under one jit (the reference does one giant forward) — the
+    metric is identical because eval-mode BN is per-sample deterministic.
+
+Data-parallel scaling: pass a ``jax.sharding.Mesh``; the batch is
+constrained to the ``data`` axis and XLA inserts the gradient all-reduce
+over ICI (SURVEY.md §2.5).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from jcfszxc_unet_tpu.data.sampler import extract_patches, sample_batch
+from jcfszxc_unet_tpu.train.losses import combined_loss, dice_coeff
+from jcfszxc_unet_tpu.train.state import TrainState
+
+
+def _shard_batch(x, mesh):
+    if mesh is None:
+        return x
+    spec = P("data", *([None] * (x.ndim - 1)))
+    return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
+
+
+def make_epoch_fn(
+    model,
+    tx: optax.GradientTransformation,
+    *,
+    n_classes: int,
+    batch_size: int,
+    patch_size: int,
+    steps: int,
+    compute_dtype=jnp.float32,
+    mesh=None,
+) -> Callable:
+    """Build the jitted epoch function: (state, images, labels, sample_map,
+    key) -> (state, {"epoch_loss": sum-of-kept-losses, "skipped": count}).
+
+    epoch_loss follows reference semantics: skipped (NaN) steps contribute
+    nothing but the divisor stays ``steps`` (train.py:303, 392).
+    """
+
+    def train_step(state: TrainState, key, images, labels, sample_map):
+        k_sample, k_drop = jax.random.split(key)
+        imgs, labs = sample_batch(
+            k_sample, images, labels, sample_map, batch_size, patch_size
+        )
+        imgs = _shard_batch(imgs.astype(compute_dtype), mesh)
+        labs = _shard_batch(labs, mesh)
+
+        def loss_fn(params):
+            variables = {"params": params, "batch_stats": state.batch_stats}
+            out, mut = model.apply(
+                variables, imgs, train=True, mutable=["batch_stats"],
+                rngs={"dropout": k_drop},
+            )
+            loss, bce, d = combined_loss(out, labs, n_classes)
+            return loss, mut["batch_stats"]
+
+        (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+
+        # NaN guard (reference train.py:259-294): skip the parameter update
+        # but keep the BN-stat update the forward already produced.
+        ok = jnp.isfinite(loss)
+        keep = lambda new, old: jax.tree.map(
+            lambda a, b: jnp.where(ok, a, b), new, old
+        )
+        new_state = TrainState(
+            params=keep(new_params, state.params),
+            batch_stats=new_bs,
+            opt_state=keep(new_opt, state.opt_state),
+            step=state.step + 1,
+        )
+        return new_state, jnp.where(ok, loss, 0.0), ok
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def epoch_fn(state: TrainState, images, labels, sample_map, key):
+        keys = jax.random.split(key, steps)
+
+        def body(carry, k):
+            state, total, skipped = carry
+            state, loss, ok = train_step(state, k, images, labels, sample_map)
+            return (state, total + loss, skipped + (1 - ok.astype(jnp.int32))), None
+
+        (state, total, skipped), _ = jax.lax.scan(
+            body, (state, jnp.zeros(()), jnp.zeros((), jnp.int32)), keys
+        )
+        return state, {"epoch_loss": total, "skipped": skipped}
+
+    return epoch_fn
+
+
+def make_val_fn(
+    model,
+    *,
+    patch_size: int,
+    chunk_size: int = 64,
+    compute_dtype=jnp.float32,
+    mesh=None,
+) -> Callable:
+    """Build the jitted validation function:
+    (params, batch_stats, val_imgs (V,P,P,C), val_labs (V,P,P,1)) ->
+    (metrics dict, sigmoid probabilities (V,P,P,1)).
+
+    Metrics mirror train.py:348-367 exactly, including the fg/bg naming
+    quirk: ``dice`` == ``dice_bg`` is the >0.5-binarized dice vs labels;
+    ``dice_fg`` binarizes at <=0.5 against (1 - labels); ``dice_avg`` is
+    their mean.
+    """
+
+    def forward_chunk(variables, chunk):
+        out = model.apply(variables, chunk.astype(compute_dtype), train=False)
+        return jax.nn.sigmoid(out.astype(jnp.float32))
+
+    @jax.jit
+    def val_fn(params, batch_stats, val_imgs, val_labs):
+        variables = {"params": params, "batch_stats": batch_stats}
+        total = val_imgs.shape[0]
+        bs = min(chunk_size, total)
+        n_chunks = -(-total // bs)
+        pad = n_chunks * bs - total
+        imgs = val_imgs
+        if pad:
+            imgs = jnp.concatenate([imgs, imgs[:pad]], axis=0)
+        chunks = imgs.reshape(n_chunks, bs, *imgs.shape[1:])
+        probs = jax.lax.map(
+            lambda c: forward_chunk(variables, _shard_batch(c, mesh)), chunks
+        )
+        probs = probs.reshape(n_chunks * bs, *probs.shape[2:])[:total]
+
+        labs = val_labs.astype(jnp.float32)
+        # (V,P,P,1) -> (V,P,P): same reduction as the reference's NCHW
+        # (V,1,P,P) per-(sample,channel) dice with C=1.
+        p = jnp.squeeze(probs, -1)
+        t = jnp.squeeze(labs, -1)
+        binary = (p > 0.5).astype(jnp.float32)
+        dice = dice_coeff(binary, t, reduce_batch_first=False)
+        binary_fg = (p <= 0.5).astype(jnp.float32)
+        dice_fg = dice_coeff(binary_fg, 1.0 - t, reduce_batch_first=False)
+        metrics = {
+            "dice": dice,
+            "dice_bg": dice,
+            "dice_fg": dice_fg,
+            "dice_avg": (dice + dice_fg) / 2.0,
+        }
+        return metrics, probs
+
+    return val_fn
+
+
+def build_val_patches(images: np.ndarray, labels: np.ndarray,
+                      sample_map_val: np.ndarray, patch_size: int):
+    """Materialize the full validation patch set once (device-resident) —
+    the counterpart of the reference's per-epoch host loop
+    (train.py:317-331), done a single time instead of every epoch."""
+    centers = jnp.asarray(sample_map_val)
+    imgs = extract_patches(jnp.asarray(images), centers, patch_size)
+    labs = extract_patches(jnp.asarray(labels), centers, patch_size)
+    return imgs, labs

@@ -1,0 +1,27 @@
+"""Test harness: run everything on a virtual 8-device CPU mesh.
+
+The TPU-world "fake backend" for data-parallel tests without a real pod —
+see SURVEY.md §4.  Must set env vars before jax initializes.
+"""
+
+import os
+
+# Force CPU: the ambient environment exports JAX_PLATFORMS=axon (a remote
+# TPU relay) which would make eager test ops network round-trips.
+os.environ["JAX_PLATFORMS"] = "cpu"
+xla_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in xla_flags:
+    os.environ["XLA_FLAGS"] = (
+        xla_flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", False)
+# Exact fp32 convs/matmuls so torch-oracle parity checks are tight.
+jax.config.update("jax_default_matmul_precision", "highest")
+# Persistent compilation cache: the model zoo is 16 sizeable graphs; cache
+# compiled executables across test runs.
+jax.config.update("jax_compilation_cache_dir", "/tmp/jcfszxc_unet_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
