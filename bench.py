@@ -1,0 +1,91 @@
+#!/usr/bin/env python
+"""Benchmark: DRIVE-patch inference throughput of the flagship UNet on one
+TPU chip.  Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "images/sec/chip", "vs_baseline": N}
+
+Protocol: UNet.UNet (31M params), bf16 compute / f32 params, NHWC
+128x128x3 patches (the reference's training patch size, train.py:466),
+batch 256, jitted forward + sigmoid.
+
+Methodology note: this image reaches the TPU through an async relay where
+``block_until_ready`` returns before remote execution and per-call
+round-trips cost seconds.  Timing therefore chains N forwards *inside one
+jitted program* (``lax.fori_loop`` with an input perturbation to defeat
+loop-invariant hoisting) and fetches a single scalar; per-iteration time is
+(t(N) - t(1)) / (N - 1), which cancels dispatch/transfer overhead and
+measures on-chip throughput.
+
+vs_baseline: the reference publishes no throughput numbers anywhere
+(SURVEY.md §6).  The denominator is an *estimate* of the PyTorch
+reference's single-GPU inference throughput: UNet at 128^2 is ~20
+GFLOP/image; a V100/3090-class research GPU under AMP sustains roughly
+10 TFLOP/s on this conv mix -> ~500 images/sec.  BASELINE.md's north star
+asks for >=10x per chip.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from functools import partial
+
+import numpy as np
+
+REF_BASELINE_IMG_PER_SEC = 500.0  # estimated PyTorch single-GPU (see above)
+
+BATCH = 256
+PATCH = 128
+N_LONG = 21
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from jcfszxc_unet_tpu.models import create_model
+
+    dev = jax.devices()[0]
+    model = create_model("UNet.UNet", dtype=jnp.bfloat16)
+    x = jnp.asarray(
+        np.random.RandomState(0).rand(BATCH, PATCH, PATCH, 3), jnp.bfloat16
+    )
+    variables = jax.jit(
+        lambda k: model.init({"params": k}, x[:1], train=False)
+    )(jax.random.PRNGKey(0))
+
+    @partial(jax.jit, static_argnums=(2,))
+    def bench_loop(variables, x, n):
+        def body(i, acc):
+            xi = x + i.astype(jnp.bfloat16) * 1e-6  # defeat LICM/CSE
+            out = jax.nn.sigmoid(model.apply(variables, xi, train=False))
+            return acc + out.mean().astype(jnp.float32)
+
+        return jax.lax.fori_loop(0, n, body, jnp.float32(0))
+
+    # Warm up / compile both loop lengths; float() forces a real sync.
+    float(bench_loop(variables, x, 1))
+    float(bench_loop(variables, x, N_LONG))
+
+    t0 = time.perf_counter()
+    float(bench_loop(variables, x, 1))
+    t_short = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    float(bench_loop(variables, x, N_LONG))
+    t_long = time.perf_counter() - t0
+
+    per_iter = (t_long - t_short) / (N_LONG - 1)
+    ips = BATCH / per_iter
+    print(
+        json.dumps(
+            {
+                "metric": f"UNet 128x128 patch inference on {dev.device_kind}",
+                "value": round(ips, 1),
+                "unit": "images/sec/chip",
+                "vs_baseline": round(ips / REF_BASELINE_IMG_PER_SEC, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,13 +1,17 @@
 """Test harness: run everything on a virtual 8-device CPU mesh.
 
 The TPU-world "fake backend" for data-parallel tests without a real pod —
-see SURVEY.md §4.  Must set env vars before jax initializes.
+see SURVEY.md §4.
+
+IMPORTANT: this image's sitecustomize registers a remote-TPU ("axon") PJRT
+plugin and calls ``jax.config.update("jax_platforms", "axon,cpu")`` in
+every process — the JAX_PLATFORMS *env var* is silently overridden.  An
+explicit config update after import wins, so that is what we do here.
 """
 
 import os
 
-# Force CPU: the ambient environment exports JAX_PLATFORMS=axon (a remote
-# TPU relay) which would make eager test ops network round-trips.
+# Belt: env vars (effective if sitecustomize is absent); set before import.
 os.environ["JAX_PLATFORMS"] = "cpu"
 xla_flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in xla_flags:
@@ -17,6 +21,10 @@ if "xla_force_host_platform_device_count" not in xla_flags:
 
 import jax  # noqa: E402
 
+# Suspenders: explicit config updates beat the sitecustomize override.
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
+
 jax.config.update("jax_enable_x64", False)
 # Exact fp32 convs/matmuls so torch-oracle parity checks are tight.
 jax.config.update("jax_default_matmul_precision", "highest")
@@ -25,3 +33,6 @@ jax.config.update("jax_default_matmul_precision", "highest")
 jax.config.update("jax_compilation_cache_dir", "/tmp/jcfszxc_unet_tpu_jax_cache")
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+assert jax.devices()[0].platform == "cpu", jax.devices()
+assert len(jax.devices()) == 8, jax.devices()
