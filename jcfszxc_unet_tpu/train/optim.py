@@ -69,8 +69,11 @@ def get_current_lr(opt_state) -> float:
 
 def set_current_lr(opt_state, lr: float):
     """Return opt_state with the injected learning rate replaced."""
+    import jax.numpy as jnp
+
+    old = opt_state.hyperparams["learning_rate"]
     hyper = dict(opt_state.hyperparams)
-    hyper["learning_rate"] = type(opt_state.hyperparams["learning_rate"])(lr)
+    hyper["learning_rate"] = jnp.asarray(lr, dtype=jnp.asarray(old).dtype)
     return opt_state._replace(hyperparams=hyper)
 
 

@@ -1,0 +1,180 @@
+"""Weight-transplant parity for the trickiest blocks: ConvLSTM cell
+unrolling (incl. go_backwards), the additive attention gate, the shared
+recurrent conv quirk, and the MultiheadAttention bottleneck.  Torch modules
+are built *from the documented semantics* as oracles and weights are copied
+into the Flax blocks.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import torch
+import torch.nn as nn
+import torch.nn.functional as F
+
+from jcfszxc_unet_tpu.ops import blocks as B
+
+
+def _nhwc(t):
+    return t.detach().permute(0, 2, 3, 1).numpy()
+
+
+def _nchw(a):
+    return torch.from_numpy(np.asarray(a)).permute(0, 3, 1, 2)
+
+
+def conv_params(tconv):
+    p = {"kernel": jnp.asarray(
+        tconv.weight.detach().numpy().transpose(2, 3, 1, 0))}
+    if tconv.bias is not None:
+        p["bias"] = jnp.asarray(tconv.bias.detach().numpy())
+    return {"conv": p}
+
+
+def test_convlstm_matches_torch_cell():
+    """ConvLSTM over T=2 with go_backwards=True (the BCDUNet decoder config,
+    unet_parts.py:843-869 semantics)."""
+    torch.manual_seed(0)
+    in_dim, hid = 6, 4
+    tconv = nn.Conv2d(in_dim + hid, 4 * hid, 3, padding=1)
+
+    def torch_convlstm(x_tbchw, go_backwards=True):
+        b, t, c, h, w = x_tbchw.shape
+        hs = torch.zeros(b, hid, h, w)
+        cs = torch.zeros(b, hid, h, w)
+        order = range(t - 1, -1, -1) if go_backwards else range(t)
+        for step in order:
+            combined = torch.cat([x_tbchw[:, step], hs], dim=1)
+            gates = tconv(combined)
+            i, f, o, g = torch.split(gates, hid, dim=1)
+            i, f, o = torch.sigmoid(i), torch.sigmoid(f), torch.sigmoid(o)
+            g = torch.tanh(g)
+            cs = f * cs + i * g
+            hs = o * torch.tanh(cs)
+        return hs
+
+    rng = np.random.RandomState(0)
+    x = rng.randn(2, 2, 5, 5, in_dim).astype(np.float32)  # (B,T,H,W,C)
+    x_t = torch.from_numpy(x.transpose(0, 1, 4, 2, 3))
+    want = torch_convlstm(x_t)
+
+    mod = B.ConvLSTM2D(in_dim, hid, 3, 1, go_backwards=True)
+    variables = {"params": {"Conv2d_0": conv_params(tconv)}}
+    got = mod.apply(variables, jnp.asarray(x))
+    np.testing.assert_allclose(
+        np.asarray(got), _nhwc(want), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_attention_gate_matches_torch():
+    """psi = sigmoid(BN(conv1x1(relu(W_g g + W_x x)))); out = x*psi
+    (unet_parts.py:149-176), eval-mode BN."""
+    torch.manual_seed(1)
+    fg, fl, fi = 8, 8, 4
+    wg, wx = nn.Conv2d(fg, fi, 1), nn.Conv2d(fl, fi, 1)
+    psi_conv = nn.Conv2d(fi, 1, 1)
+    bn_g, bn_x, bn_psi = nn.BatchNorm2d(fi), nn.BatchNorm2d(fi), nn.BatchNorm2d(1)
+    for bn in (bn_g, bn_x, bn_psi):
+        bn.eval()
+
+    def torch_gate(g, x):
+        g1 = bn_g(wg(g))
+        x1 = bn_x(wx(x))
+        p = torch.sigmoid(bn_psi(psi_conv(F.relu(g1 + x1))))
+        return x * p
+
+    rng = np.random.RandomState(2)
+    g = rng.randn(2, 6, 6, fg).astype(np.float32)
+    x = rng.randn(2, 6, 6, fl).astype(np.float32)
+    want = torch_gate(_nchw(g), _nchw(x))
+
+    mod = B.AttentionBlock(fg, fl, fi)
+    init = mod.init(jax.random.PRNGKey(0), jnp.asarray(g), jnp.asarray(x), False)
+    params = jax.tree.map(np.asarray, init["params"])
+    params["Conv2d_0"] = conv_params(wg)
+    params["Conv2d_1"] = conv_params(wx)
+    params["Conv2d_2"] = conv_params(psi_conv)
+    got = mod.apply(
+        {"params": params, "batch_stats": init["batch_stats"]},
+        jnp.asarray(g), jnp.asarray(x), False,
+    )
+    np.testing.assert_allclose(np.asarray(got), _nhwc(want), rtol=1e-4, atol=1e-5)
+
+
+def test_recurrent_block_applies_conv_t_plus_1_times():
+    """The reference loop runs the shared conv t+1 times (unet_parts.py:125-132).
+    With BN in eval mode (identity at fresh stats) and ReLU, verify against a
+    direct t+1 unroll."""
+    ch, t = 3, 2
+    mod = B.RecurrentBlock(ch, t)
+    x = jnp.asarray(np.random.RandomState(3).rand(1, 4, 4, ch), jnp.float32)
+    variables = mod.init(jax.random.PRNGKey(0), x, False)
+    got = mod.apply(variables, x, False)
+
+    kernel = variables["params"]["Conv2d_0"]["conv"]["kernel"]
+    bias = variables["params"]["Conv2d_0"]["conv"]["bias"]
+
+    def conv(v):
+        out = jax.lax.conv_general_dilated(
+            v, kernel, (1, 1), [(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ) + bias
+        return jax.nn.relu(out)  # eval-mode fresh BN == identity
+
+    x1 = conv(x)
+    for _ in range(t):
+        x1 = conv(x + x1)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(x1), rtol=1e-4, atol=1e-5)
+
+
+def test_mhsa_matches_torch_multihead():
+    """Packed-QKV self-attention == torch nn.MultiheadAttention(batch_first)
+    (RetinaLiteNet.py:72-80)."""
+    torch.manual_seed(4)
+    e, h, L = 16, 4, 9
+    tmha = nn.MultiheadAttention(e, h, batch_first=True)
+    tmha.eval()
+    rng = np.random.RandomState(5)
+    x = rng.randn(2, L, e).astype(np.float32)
+    with torch.no_grad():
+        want, _ = tmha(torch.from_numpy(x), torch.from_numpy(x), torch.from_numpy(x))
+
+    mod = B.MultiHeadSelfAttention(e, h)
+    params = {
+        "in_proj": {
+            "kernel": jnp.asarray(tmha.in_proj_weight.detach().numpy().T),
+            "bias": jnp.asarray(tmha.in_proj_bias.detach().numpy()),
+        },
+        "out_proj": {
+            "kernel": jnp.asarray(tmha.out_proj.weight.detach().numpy().T),
+            "bias": jnp.asarray(tmha.out_proj.bias.detach().numpy()),
+        },
+    }
+    got = mod.apply({"params": params}, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(got), want.numpy(), rtol=1e-4, atol=1e-5)
+
+
+def test_double_conv_matches_torch():
+    """(Conv3x3 no-bias -> BN -> ReLU) x2 in train mode (batch stats),
+    unet_parts.py:17-34."""
+    torch.manual_seed(6)
+    c1 = nn.Conv2d(3, 8, 3, padding=1, bias=False)
+    b1 = nn.BatchNorm2d(8)
+    c2 = nn.Conv2d(8, 8, 3, padding=1, bias=False)
+    b2 = nn.BatchNorm2d(8)
+    for m in (b1, b2):
+        m.train()
+    rng = np.random.RandomState(7)
+    x = rng.randn(2, 6, 6, 3).astype(np.float32)
+    want = F.relu(b2(c2(F.relu(b1(c1(_nchw(x)))))))
+
+    mod = B.DoubleConv(3, 8)
+    init = mod.init(jax.random.PRNGKey(0), jnp.asarray(x), False)
+    params = jax.tree.map(np.asarray, init["params"])
+    params["Conv2d_0"] = conv_params(c1)
+    params["Conv2d_1"] = conv_params(c2)
+    got, _ = mod.apply(
+        {"params": params, "batch_stats": init["batch_stats"]},
+        jnp.asarray(x), True, mutable=["batch_stats"],
+    )
+    np.testing.assert_allclose(np.asarray(got), _nhwc(want), rtol=1e-3, atol=1e-4)

@@ -1,0 +1,129 @@
+"""End-to-end test: synthetic DRIVE dataset -> preprocess -> train (2
+epochs) -> checkpoint -> evaluate.  The in-process equivalent of driving
+the three CLIs (the project verify skill drives the real CLI surface)."""
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from jcfszxc_unet_tpu.cli.evaluate import eval_model
+from jcfszxc_unet_tpu.cli.train import train_model
+from jcfszxc_unet_tpu.data.preprocess import (
+    load_preprocessed_data,
+    preprocess_dataset,
+    process_data_subset,
+)
+from jcfszxc_unet_tpu.models import create_model
+from jcfszxc_unet_tpu.train import checkpoint as ckpt
+
+
+def make_synthetic_drive(root, n_train=4, n_test=2, h=64, w=48):
+    """DRIVE-layout synthetic dataset (tif images, gif masks/labels)."""
+    from PIL import Image
+
+    rng = np.random.RandomState(0)
+    for split, n in [("training", n_train), ("test", n_test)]:
+        for d in ["images", "mask", "1st_manual"]:
+            os.makedirs(os.path.join(root, split, d), exist_ok=True)
+        for i in range(n):
+            img = (rng.rand(h, w, 3) * 255).astype(np.uint8)
+            Image.fromarray(img).save(
+                os.path.join(root, split, "images", f"{20 + i}_{split}.tif")
+            )
+            mask = np.zeros((h, w), np.uint8)
+            mask[4:-4, 4:-4] = 255
+            Image.fromarray(mask).save(
+                os.path.join(root, split, "mask", f"{20 + i}_{split}_mask.gif")
+            )
+            lab = (rng.rand(h, w) > 0.8).astype(np.uint8) * 255
+            Image.fromarray(lab).save(
+                os.path.join(root, split, "1st_manual", f"{20 + i}_manual1.gif")
+            )
+
+
+@pytest.fixture(scope="module")
+def drive_h5(tmp_path_factory):
+    root = tmp_path_factory.mktemp("drive")
+    make_synthetic_drive(str(root / "raw"))
+    info = preprocess_dataset(
+        dataset_path=str(root / "raw"), output_dir=str(root / "data"),
+        save_method="h5",
+    )
+    return info
+
+
+class TestPreprocess:
+    def test_layout_and_normalization(self, drive_h5):
+        train = load_preprocessed_data(drive_h5["train"]["output_file"])
+        assert train["images"].shape == (4, 64, 48, 3)
+        assert train["images"].dtype == np.float32
+        assert 0.0 <= train["images"].min() and train["images"].max() <= 1.0
+        assert set(train.keys()) == {"images", "masks", "labels", "filenames"}
+        # masks/labels binary after /255 (PIL may return GIF palette
+        # *indices*, so the nonzero value can be 1/255 instead of 1.0 —
+        # matching reference behavior, which also goes through PIL)
+        assert len(np.unique(train["masks"])) <= 2
+        assert train["masks"].min() == 0.0
+
+    def test_filename_pairing(self, tmp_path):
+        # mask/label filenames derive from the image stem
+        make_synthetic_drive(str(tmp_path), n_train=1, n_test=1)
+        ds = process_data_subset(str(tmp_path / "training"))
+        assert ds["filenames"] == ["20_training.tif"]
+
+
+class TestTrainEval:
+    def test_full_loop(self, drive_h5, tmp_path):
+        model = create_model("RetinaLiteNet.TransFuseNet")
+        save_path = str(tmp_path / "best_model.ckpt")
+        best = train_model(
+            model=model,
+            model_name="RetinaLiteNet.TransFuseNet",
+            model_kwargs={},
+            input_data=drive_h5["train"]["output_file"],
+            steps=3,
+            batch_size=4,
+            patch_size=16,
+            learning_rate=1e-3,
+            val_percent=0.25,
+            save_path=save_path,
+            compute_dtype=jnp.float32,
+            max_epochs=2,
+            visualize=False,
+        )
+        assert os.path.exists(save_path)
+        assert 0.0 <= best <= 1.0
+
+        loaded_model, variables, cfg = ckpt.load_model(save_path)
+        assert cfg["model_name"] == "RetinaLiteNet.TransFuseNet"
+        mean_dice, per_image, mean_auc = eval_model(
+            model=loaded_model,
+            variables=variables,
+            output_dir=str(tmp_path / "preds"),
+            input_data=drive_h5["test"]["output_file"],
+            patch_size=16,
+            compute_dtype=jnp.float32,
+            visualize=False,
+        )
+        assert len(per_image) == 2
+        assert all(np.isfinite(d) for d in per_image)
+        assert mean_auc is None or 0.0 <= mean_auc <= 1.0
+
+    def test_checkpoint_roundtrip_exact(self, tmp_path):
+        model = create_model("RetinaLiteNet.TransFuseNet")
+        import jax
+
+        x = jnp.zeros((1, 16, 16, 3))
+        variables = model.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+        path = str(tmp_path / "m.ckpt")
+        ckpt.save_model(path, "RetinaLiteNet.TransFuseNet", {},
+                        variables["params"], variables["batch_stats"])
+        m2, v2, _ = ckpt.load_model(path)
+        out1 = model.apply(variables, x, train=False)
+        out2 = m2.apply(
+            {"params": v2["params"], "batch_stats": v2["batch_stats"]},
+            x, train=False,
+        )
+        np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))

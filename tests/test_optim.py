@@ -1,0 +1,90 @@
+"""Optimizer/scheduler parity: the optax chain vs torch.optim.RMSprop
+(+clip), and the host-side plateau scheduler vs torch.ReduceLROnPlateau."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import torch
+
+from jcfszxc_unet_tpu.train.optim import (
+    ReduceLROnPlateau,
+    get_current_lr,
+    make_optimizer,
+    set_current_lr,
+)
+
+
+class TestRMSpropParity:
+    def test_matches_torch_rmsprop_with_clip(self):
+        """Same params/grads through torch (clip_grad_norm_ then RMSprop with
+        wd+momentum, the train.py:296-301 sequence) and the optax chain."""
+        rng = np.random.RandomState(0)
+        w0 = rng.randn(4, 3).astype(np.float32)
+        lr, wd, mom = 1e-2, 1e-3, 0.9
+
+        tw = torch.nn.Parameter(torch.from_numpy(w0.copy()))
+        topt = torch.optim.RMSprop([tw], lr=lr, weight_decay=wd, momentum=mom)
+
+        tx = make_optimizer(lr, weight_decay=wd, momentum=mom)
+        params = {"w": jnp.asarray(w0)}
+        opt_state = tx.init(params)
+
+        for step in range(5):
+            g = rng.randn(4, 3).astype(np.float32) * (3.0 if step == 2 else 0.5)
+            # torch path
+            tw.grad = torch.from_numpy(g.copy())
+            torch.nn.utils.clip_grad_norm_([tw], 1.0)
+            topt.step()
+            # optax path (clip is inside the chain)
+            grads = {"w": jnp.asarray(g)}
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            np.testing.assert_allclose(
+                np.asarray(params["w"]), tw.detach().numpy(), rtol=1e-4, atol=1e-6,
+                err_msg=f"divergence at step {step}",
+            )
+
+    def test_lr_mutation_without_recompile(self):
+        tx = make_optimizer(1e-3)
+        params = {"w": jnp.ones((2,))}
+        st = tx.init(params)
+        assert abs(get_current_lr(st) - 1e-3) < 1e-9
+        st = set_current_lr(st, 5e-4)
+        assert abs(get_current_lr(st) - 5e-4) < 1e-9
+        updates, st = tx.update({"w": jnp.ones((2,))}, st, params)
+        assert np.isfinite(np.asarray(updates["w"])).all()
+
+
+class TestPlateauScheduler:
+    def _torch_sched(self, factor=0.7, patience=5, threshold=0.01, cooldown=2):
+        p = torch.nn.Parameter(torch.zeros(1))
+        opt = torch.optim.SGD([p], lr=1.0)
+        sched = torch.optim.lr_scheduler.ReduceLROnPlateau(
+            opt, mode="max", factor=factor, patience=patience,
+            threshold=threshold, cooldown=cooldown,
+        )
+        return opt, sched
+
+    def test_matches_torch_trace(self):
+        metrics = [0.1, 0.2, 0.21, 0.21, 0.21, 0.21, 0.21, 0.21, 0.21, 0.21,
+                   0.21, 0.21, 0.21, 0.5, 0.5, 0.5, 0.5, 0.5, 0.5, 0.5, 0.5,
+                   0.5, 0.5]
+        opt, tsched = self._torch_sched()
+        ours = ReduceLROnPlateau()
+        lr = 1.0
+        for i, m in enumerate(metrics):
+            tsched.step(m)
+            lr = ours.step(m, lr)
+            torch_lr = opt.param_groups[0]["lr"]
+            assert abs(lr - torch_lr) < 1e-9, (i, lr, torch_lr)
+
+    def test_reduces_after_patience(self):
+        ours = ReduceLROnPlateau(patience=2, cooldown=0)
+        lr = 1.0
+        lr = ours.step(0.5, lr)   # best
+        for _ in range(2):
+            lr = ours.step(0.5, lr)  # not better than best*(1.01)
+        assert lr == 1.0
+        lr = ours.step(0.5, lr)
+        assert abs(lr - 0.7) < 1e-9

@@ -1,0 +1,114 @@
+"""Tiled-inference tests: stitch roundtrip identity on constant fields,
+count-averaging of overlaps, sliding-window predictor, and AUC metric."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from jcfszxc_unet_tpu.data.sampler import build_grid_sample_map, extract_patches
+from jcfszxc_unet_tpu.eval.metrics import roc_auc
+from jcfszxc_unet_tpu.eval.tiling import (
+    sliding_window_predict,
+    stitch_patches,
+    tiled_predict,
+)
+
+
+class TestStitch:
+    def test_roundtrip_identity_on_constant_field(self):
+        # tile a constant image and stitch: must reproduce it exactly
+        # wherever the grid covers (full coverage at stride=half_patch
+        # for these dims)
+        n, h, w, patch = 2, 64, 64, 16
+        field = np.full((n, h, w, 1), 0.7, np.float32)
+        grid = build_grid_sample_map(n, h, w, patch // 2)
+        centers = jnp.asarray(grid)
+        patches = extract_patches(jnp.asarray(field), centers, patch)
+        out = stitch_patches(jnp.squeeze(patches, -1), centers, n, h, w)
+        np.testing.assert_allclose(np.asarray(out), 0.7, rtol=1e-6)
+
+    def test_count_averaging(self):
+        # two overlapping unit patches -> overlap area still 1.0 (averaged)
+        centers = jnp.asarray(np.array([[0, 4, 4], [0, 4, 8]], np.int32))
+        probs = jnp.ones((2, 8, 8))
+        out = np.asarray(stitch_patches(probs, centers, 1, 16, 16))
+        assert out.max() == 1.0
+        covered = out > 0
+        np.testing.assert_allclose(out[covered], 1.0)
+        # uncovered corners stay 0
+        assert out[0, 15, 15] == 0.0
+
+    def test_varying_values_average(self):
+        centers = jnp.asarray(np.array([[0, 4, 4], [0, 4, 4]], np.int32))
+        probs = jnp.stack([jnp.zeros((8, 8)), jnp.ones((8, 8))])
+        out = np.asarray(stitch_patches(probs, centers, 1, 8, 8))
+        np.testing.assert_allclose(out[0:8, 0:8], 0.5)
+
+
+class TestTiledPredict:
+    def test_identity_model_reconstructs_channel_mean(self):
+        rng = np.random.RandomState(0)
+        images = jnp.asarray(rng.rand(2, 48, 40, 3), jnp.float32)
+
+        def forward(batch):  # prob = mean over channels
+            return jnp.mean(batch, axis=-1, keepdims=True)
+
+        out = tiled_predict(forward, images, patch_size=16, inference_batch_size=4)
+        want = np.asarray(jnp.mean(images, axis=-1))
+        # grid covers the full image at these dims
+        np.testing.assert_allclose(np.asarray(out), want, rtol=1e-5, atol=1e-6)
+
+    def test_sliding_window(self):
+        rng = np.random.RandomState(1)
+        image = jnp.asarray(rng.rand(40, 40, 3), jnp.float32)
+
+        def forward(batch):
+            return jnp.mean(batch, axis=-1, keepdims=True)
+
+        out = sliding_window_predict(forward, image, patch_size=16, overlap=0.5)
+        want = np.asarray(jnp.mean(image, axis=-1))
+        # windows anchored top-left at stride 8: coverage reaches 40-16+8+16=40
+        covered = np.zeros((40, 40), bool)
+        for y in range(0, 40 - 16 + 1, 8):
+            for x in range(0, 40 - 16 + 1, 8):
+                covered[y : y + 16, x : x + 16] = True
+        np.testing.assert_allclose(np.asarray(out)[covered], want[covered],
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(out)[~covered], 0.0)
+
+
+class TestAUC:
+    def test_perfect_separation(self):
+        scores = jnp.asarray([0.9, 0.8, 0.2, 0.1])
+        targets = jnp.asarray([1.0, 1.0, 0.0, 0.0])
+        assert float(roc_auc(scores, targets)) > 0.99
+
+    def test_random_is_half(self):
+        rng = np.random.RandomState(2)
+        scores = jnp.asarray(rng.rand(100000), jnp.float32)
+        targets = jnp.asarray((rng.rand(100000) > 0.5), jnp.float32)
+        assert abs(float(roc_auc(scores, targets)) - 0.5) < 0.01
+
+    def test_matches_sklearn_formula(self):
+        # exact rank-based AUC as oracle (no ties)
+        rng = np.random.RandomState(3)
+        scores = rng.rand(5000).astype(np.float32)
+        targets = (rng.rand(5000) > 0.7).astype(np.float32)
+        order = np.argsort(scores)
+        ranks = np.empty_like(order, dtype=np.float64)
+        ranks[order] = np.arange(1, len(scores) + 1)
+        npos = targets.sum()
+        nneg = len(targets) - npos
+        want = (ranks[targets == 1].sum() - npos * (npos + 1) / 2) / (npos * nneg)
+        got = float(roc_auc(jnp.asarray(scores), jnp.asarray(targets)))
+        assert abs(got - want) < 2e-3
+
+    def test_mask_restricts(self):
+        scores = jnp.asarray([0.9, 0.1, 0.5, 0.5])
+        targets = jnp.asarray([1.0, 0.0, 1.0, 0.0])
+        mask = jnp.asarray([1.0, 1.0, 0.0, 0.0])
+        assert float(roc_auc(scores, targets, mask)) > 0.99
+
+    def test_degenerate_returns_half(self):
+        scores = jnp.asarray([0.5, 0.6])
+        assert float(roc_auc(scores, jnp.asarray([1.0, 1.0]))) == 0.5
