@@ -1,0 +1,118 @@
+"""Fractal-trainer tests: box-counting dimension golden values vs a direct
+numpy re-implementation of the reference formula, sampling distribution,
+loss composition, and the extractor's shape/residual contract."""
+
+import jax
+import jax.numpy as jnp
+import math
+import numpy as np
+
+from jcfszxc_unet_tpu.train import fractal as F
+
+
+def _numpy_box_dimension(mask, max_scales=4):
+    """Direct transcription of the reference box-counting math
+    (train-demo.py:252-315) as an oracle."""
+    binary = (mask > 0.5).astype(np.float32)
+    if binary.sum() == 0:
+        return 0.0
+    counts, scales = [], []
+    for s in range(1, max_scales + 1):
+        b = 2 ** s
+        count = 0
+        for i in range(math.ceil(mask.shape[0] / b)):
+            for j in range(math.ceil(mask.shape[1] / b)):
+                if np.any(binary[i * b : (i + 1) * b, j * b : (j + 1) * b] > 0):
+                    count += 1
+        counts.append(count)
+        scales.append(b)
+    slope, _ = np.polyfit(np.log(np.array(scales)),
+                          np.log(np.array(counts) + 1e-10), 1)
+    return -slope
+
+
+class TestBoxDimension:
+    def test_empty_mask_is_zero(self):
+        assert float(F.box_dimension(jnp.zeros((32, 32)))) == 0.0
+
+    def test_full_mask_dimension_two(self):
+        got = float(F.box_dimension(jnp.ones((64, 64))))
+        want = _numpy_box_dimension(np.ones((64, 64)))
+        assert abs(got - want) < 1e-4
+        assert abs(got - 2.0) < 0.05  # a filled plane has dimension ~2
+
+    def test_line_dimension_one(self):
+        m = np.zeros((64, 64), np.float32)
+        m[32, :] = 1.0
+        got = float(F.box_dimension(jnp.asarray(m)))
+        want = _numpy_box_dimension(m)
+        assert abs(got - want) < 1e-4
+        assert 0.8 < got < 1.2
+
+    def test_random_matches_reference_formula(self):
+        rng = np.random.RandomState(0)
+        for _ in range(3):
+            m = (rng.rand(48, 56) > 0.7).astype(np.float32)
+            got = float(F.box_dimension(jnp.asarray(m)))
+            want = _numpy_box_dimension(m)
+            assert abs(got - want) < 1e-3
+
+
+class TestSampling:
+    def test_level_counts_power_law(self):
+        # Reference quirk (train-demo.py:86-89): [B, B/2, B/4] over-allocates,
+        # and the *negative* remainder is added to level 0 -> [B/4, B/2, B/4].
+        assert F.level_sample_counts(32) == [8, 16, 8]
+        assert sum(F.level_sample_counts(32)) == 32
+        assert sum(F.level_sample_counts(7)) == 7
+
+    def test_patch_sizes(self):
+        sizes, _ = F.build_fractal_sample_maps(
+            np.ones((1, 64, 64), np.float32), 48
+        )
+        assert sizes == [48, max(int(48 / 1.5), 16), max(int(48 / 2.25), 16)]
+
+    def test_sample_batch_shapes(self):
+        rng = np.random.RandomState(1)
+        masks = (rng.rand(2, 64, 64) > 0.3).astype(np.float32)
+        sizes, maps = F.build_fractal_sample_maps(masks, 32)
+        counts = F.level_sample_counts(8)
+        imgs = jnp.asarray(rng.rand(2, 64, 64, 3), jnp.float32)
+        tgts = jnp.asarray(masks[..., None])
+        bi, bt = F.fractal_sample_batch(
+            jax.random.PRNGKey(0), imgs, tgts, [jnp.asarray(m) for m in maps],
+            sizes, counts, 32,
+        )
+        assert bi.shape == (8, 32, 32, 3)
+        assert bt.shape == (8, 32, 32, 1)
+
+
+class TestFractalLoss:
+    def test_composition(self):
+        rng = np.random.RandomState(2)
+        logits = jnp.asarray(rng.randn(6, 32, 32, 1), jnp.float32)
+        target = jnp.asarray((rng.rand(6, 32, 32, 1) > 0.5), jnp.float32)
+        loss = F.fractal_loss(logits, target, jax.random.PRNGKey(0))
+        assert np.isfinite(float(loss))
+        # perfect prediction of an empty target: bce~0, dice -> 1 - 0/(eps)=1?
+        # check loss decreases when logits match target strongly
+        strong = (target * 2 - 1) * 20.0
+        loss2 = F.fractal_loss(strong, target, jax.random.PRNGKey(0))
+        assert float(loss2) < float(loss)
+
+    def test_self_supervised_loss_zero_for_identical(self):
+        x = jnp.asarray(np.random.RandomState(3).rand(2, 16, 16, 1), jnp.float32)
+        assert float(F.fractal_self_supervised_loss(x, x)) < 1e-10
+
+
+class TestExtractor:
+    def test_shape_and_residual(self):
+        ext = F.FractalFeatureExtractor(3)
+        x = jnp.asarray(np.random.RandomState(4).rand(2, 16, 16, 3), jnp.float32)
+        variables = ext.init(jax.random.PRNGKey(0), x)
+        out = ext.apply(variables, x)
+        assert out.shape == x.shape
+        # residual: zeroing the fusion conv output leaves exactly x
+        zeroed = jax.tree.map(jnp.zeros_like, variables)
+        out0 = ext.apply(zeroed, x)
+        np.testing.assert_allclose(np.asarray(out0), np.asarray(x), rtol=1e-6)
