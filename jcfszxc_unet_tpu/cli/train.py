@@ -14,7 +14,6 @@ from __future__ import annotations
 import argparse
 import logging
 import os
-import time
 
 import jax
 import jax.numpy as jnp
@@ -37,6 +36,7 @@ from jcfszxc_unet_tpu.train.optim import (
 )
 from jcfszxc_unet_tpu.train.state import create_train_state
 from jcfszxc_unet_tpu.train.trainer import build_val_patches, make_epoch_fn, make_val_fn
+from jcfszxc_unet_tpu.utils.profiling import Throughput
 from jcfszxc_unet_tpu.utils.seed import set_seed
 from jcfszxc_unet_tpu.utils.vis import save_triptych
 
@@ -144,6 +144,7 @@ def train_model(
     patience_counter = 0
     epoch = 0
     data_key = jax.random.fold_in(key, 0xDA7A)
+    throughput = Throughput()  # steady-state patches/sec, compile excluded
 
     if profile_dir:
         jax.profiler.start_trace(profile_dir)
@@ -153,7 +154,6 @@ def train_model(
         if max_epochs is not None and epoch > max_epochs:
             break
         data_key, epoch_key = jax.random.split(data_key)
-        t0 = time.time()
         state, train_metrics = epoch_fn(
             state, train_images, train_labels, train_map_dev, epoch_key
         )
@@ -163,8 +163,7 @@ def train_model(
         skipped = int(train_metrics["skipped"])
         dice = float(metrics["dice"])
         dice_avg = float(metrics["dice_avg"])
-        dt = time.time() - t0
-        pps = steps * batch_size / dt  # patches/sec (train phase incl. val)
+        pps = throughput.tick(steps * batch_size)
 
         lr = get_current_lr(state.opt_state)
         new_lr = scheduler.step(dice, lr)
@@ -196,8 +195,8 @@ def train_model(
             f"Loss: {epoch_loss / steps:.4g} - "
             f"Dice: {dice:.4g} - "
             f"Avg Dice: {dice_avg:.4g} - "
-            f"Best Dice: {best_dice:.4g} - "
-            f"{pps:.0f} patches/s"
+            f"Best Dice: {best_dice:.4g}"
+            + (f" - {pps:.0f} patches/s" if pps else "")
             + (f" - skipped {skipped} NaN steps" if skipped else "")
         )
 
