@@ -41,6 +41,7 @@ def eval_model(
     compute_dtype=jnp.float32,
     visualize: bool = True,
     compute_auc: bool = True,
+    mesh=None,
 ):
     """Tiled evaluation; returns (mean_dice, per_image_dice, mean_auc).
 
@@ -63,7 +64,8 @@ def eval_model(
         out = model.apply(variables, batch.astype(compute_dtype), train=False)
         return jax.nn.sigmoid(out.astype(jnp.float32))
 
-    pred_maps = tiled_predict(forward, images, patch_size, inference_batch_size)
+    pred_maps = tiled_predict(forward, images, patch_size,
+                              inference_batch_size, mesh=mesh)
     pred_maps = pred_maps * jnp.asarray(masks)  # FOV mask (evaluate.py:309)
 
     aucs = []
@@ -125,6 +127,9 @@ def get_args(argv=None):
                         help="Batch size for inference")
     parser.add_argument("--dtype", type=str, default="bfloat16",
                         choices=["bfloat16", "float32"], help="Compute dtype")
+    parser.add_argument("--devices", type=int, default=0,
+                        help="Shard the tile axis over this many devices "
+                             "(0 = all)")
     return parser.parse_args(argv)
 
 
@@ -137,6 +142,10 @@ def main(argv=None):
     logging.info(f"Loading model from {args.model}")
     compute_dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     model, variables, _ = ckpt.load_model(args.model, dtype=compute_dtype)
+    from jcfszxc_unet_tpu.parallel.mesh import make_mesh
+
+    n_dev = args.devices or len(jax.devices())
+    mesh = make_mesh(n_dev) if n_dev > 1 else None
     eval_model(
         model=model,
         variables=variables,
@@ -145,6 +154,7 @@ def main(argv=None):
         output_dir=args.output_dir,
         patch_size=args.patch_size,
         compute_dtype=compute_dtype,
+        mesh=mesh,
     )
 
 

@@ -61,12 +61,17 @@ def tiled_predict(
     images: jnp.ndarray,
     patch_size: int,
     inference_batch_size: int = 32,
+    mesh=None,
 ):
     """Full-image prediction by grid tiling + stitching.
 
     ``forward`` maps (B, P, P, C) -> (B, P, P, 1) *probabilities* (sigmoid
     applied by the caller, matching evaluate.py:282's unconditional sigmoid).
     Returns (N, H, W) stitched probability maps.
+
+    With a ``mesh``, each forward chunk's patch axis is sharded over the
+    ``data`` axis — the patch-grid-parallel inference of SURVEY.md §2.5
+    (tiles ride ICI-parallel; the stitch stays replicated).
     """
     n, h, w, _ = images.shape
     grid = build_grid_sample_map(n, h, w, patch_size // 2)
@@ -77,12 +82,23 @@ def tiled_predict(
     # program serves every chunk.
     total = patches.shape[0]
     bs = min(inference_batch_size, total)
+    if mesh is not None:
+        bs = max(bs // mesh.size, 1) * mesh.size  # divisible per-shard chunks
     n_chunks = -(-total // bs)
-    pad = n_chunks * bs - total
-    if pad:
-        patches = jnp.concatenate([patches, patches[:pad]], axis=0)
+    if n_chunks * bs != total:
+        # pad the tail by wrapping (extra rows are sliced off after)
+        idx = jnp.arange(n_chunks * bs) % total
+        patches = jnp.take(patches, idx, axis=0)
     chunks = patches.reshape(n_chunks, bs, *patches.shape[1:])
-    probs = jax.lax.map(forward, chunks)
+
+    def fwd(chunk):
+        if mesh is not None:
+            from jcfszxc_unet_tpu.parallel.mesh import shard_batch
+
+            chunk = shard_batch(chunk, mesh)
+        return forward(chunk)
+
+    probs = jax.lax.map(fwd, chunks)
     probs = probs.reshape(n_chunks * bs, *probs.shape[2:])[:total]
     probs = jnp.squeeze(probs, axis=-1)
     return stitch_patches(probs, centers, n, h, w)

@@ -436,9 +436,16 @@ def train_with_fractal_optimization(
             best_dice = dice
             patience_counter = 0
             ckpt.save_model(save_path, model_name, {}, params["model"], batch_stats)
+            # Bundle = model + extractor + optimizer state, the analogue of
+            # the reference's best_fractal_model.pth (train-demo.py:600-604).
+            from flax import serialization as _ser
+
             ckpt.save_model(
                 bundle_path, model_name, {}, params["model"], batch_stats,
-                extra={"extractor_params": params["extractor"]},
+                extra={
+                    "extractor_params": params["extractor"],
+                    "opt_state": _ser.to_state_dict(opt_state),
+                },
             )
             print(f"New best dice score: {best_dice:.4f} - Saved model checkpoint")
         else:

@@ -108,3 +108,22 @@ class TestHelpers:
         mesh = make_mesh(8)
         s = batch_sharding(mesh, 4)
         assert s.spec == P("data", None, None, None)
+
+
+class TestTiledPredictOnMesh:
+    def test_sharded_tiles_match_single_device(self):
+        from jcfszxc_unet_tpu.eval.tiling import tiled_predict
+
+        rng = np.random.RandomState(5)
+        images = jnp.asarray(rng.rand(2, 48, 40, 3), jnp.float32)
+
+        def forward(batch):
+            return jnp.mean(batch, axis=-1, keepdims=True)
+
+        base = tiled_predict(forward, images, patch_size=16,
+                             inference_batch_size=8)
+        mesh = make_mesh(8)
+        sharded = tiled_predict(forward, images, patch_size=16,
+                                inference_batch_size=8, mesh=mesh)
+        np.testing.assert_allclose(np.asarray(base), np.asarray(sharded),
+                                   rtol=1e-6, atol=1e-7)
