@@ -62,6 +62,7 @@ def train_model(
     visualize: bool = True,
     profile_dir: str | None = None,
     init_variables=None,
+    remat: bool = False,
 ):
     """Run the reference training protocol end-to-end; returns best dice.
 
@@ -134,7 +135,7 @@ def train_model(
     epoch_fn = make_epoch_fn(
         model, tx, n_classes=n_classes, batch_size=batch_size,
         patch_size=patch_size, steps=steps, compute_dtype=compute_dtype,
-        mesh=mesh,
+        mesh=mesh, remat=remat,
     )
     val_fn = make_val_fn(model, patch_size=patch_size,
                          compute_dtype=compute_dtype, mesh=mesh)
@@ -253,6 +254,9 @@ def get_args(argv=None):
                         help="Optional epoch cap (0 = until early stopping)")
     parser.add_argument("--profile-dir", type=str, default=None,
                         help="Write a jax.profiler trace here")
+    parser.add_argument("--remat", action="store_true",
+                        help="Rematerialize activations in the backward pass "
+                             "(larger batches/patches at extra FLOPs)")
     return parser.parse_args(argv)
 
 
@@ -300,6 +304,7 @@ def main(argv=None):
         max_epochs=args.max_epochs or None,
         profile_dir=args.profile_dir,
         init_variables=init_variables,
+        remat=args.remat,
     )
 
 

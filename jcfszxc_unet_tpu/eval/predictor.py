@@ -1,0 +1,73 @@
+"""Serving-oriented prediction API.
+
+The reference's inference surface is a script (evaluate.py); for production
+serving this wraps a checkpoint as a reusable object with jit-compiled,
+shape-cached prediction paths:
+
+    p = Predictor.from_checkpoint("best_model.ckpt")
+    probs = p.predict_images(images_nhwc)          # tiled + stitched
+    probs1 = p.predict_full_image(image_hwc)       # sliding window
+
+Compiled executables are cached per input shape, so repeated calls at a
+fixed deployment shape are pure device execution.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from jcfszxc_unet_tpu.eval.tiling import sliding_window_predict, tiled_predict
+
+
+class Predictor:
+    def __init__(self, model, variables, compute_dtype=jnp.bfloat16,
+                 patch_size: int = 512, inference_batch_size: int = 32,
+                 mesh=None):
+        self.model = model
+        self.variables = variables
+        self.compute_dtype = compute_dtype
+        self.patch_size = patch_size
+        self.inference_batch_size = inference_batch_size
+        self.mesh = mesh
+        self._batch_fwd = jax.jit(self._forward)
+
+    @classmethod
+    def from_checkpoint(cls, path: str, compute_dtype=jnp.bfloat16, **kwargs
+                        ) -> "Predictor":
+        from jcfszxc_unet_tpu.train.checkpoint import load_model
+
+        model, variables, _ = load_model(path, dtype=compute_dtype)
+        return cls(model, variables, compute_dtype=compute_dtype, **kwargs)
+
+    def _forward(self, batch):
+        out = self.model.apply(
+            self.variables, batch.astype(self.compute_dtype), train=False
+        )
+        return jax.nn.sigmoid(out.astype(jnp.float32))
+
+    def predict_patches(self, patches) -> jnp.ndarray:
+        """Raw patch-batch probabilities (B, P, P, 1)."""
+        return self._batch_fwd(jnp.asarray(patches))
+
+    def predict_images(self, images, patch_size: Optional[int] = None
+                       ) -> jnp.ndarray:
+        """Tiled + count-average-stitched probabilities for (N, H, W, C)
+        images, FOV-unmasked (caller applies masks)."""
+        return tiled_predict(
+            self._forward, jnp.asarray(images),
+            patch_size or self.patch_size, self.inference_batch_size,
+            mesh=self.mesh,
+        )
+
+    def predict_full_image(self, image, patch_size: int = 256,
+                           overlap: float = 0.5, batch_size: int = 4
+                           ) -> jnp.ndarray:
+        """Sliding-window single-image prediction (the API form of the
+        reference's predict_full_image, evaluate.py:28-96)."""
+        return sliding_window_predict(
+            self._forward, jnp.asarray(image), patch_size, overlap, batch_size
+        )

@@ -54,6 +54,7 @@ def make_epoch_fn(
     steps: int,
     compute_dtype=jnp.float32,
     mesh=None,
+    remat: bool = False,
 ) -> Callable:
     """Build the jitted epoch function: (state, images, labels, sample_map,
     key) -> (state, {"epoch_loss": sum-of-kept-losses, "skipped": count}).
@@ -70,12 +71,20 @@ def make_epoch_fn(
         imgs = _shard_batch(imgs.astype(compute_dtype), mesh)
         labs = _shard_batch(labs, mesh)
 
-        def loss_fn(params):
-            variables = {"params": params, "batch_stats": state.batch_stats}
-            out, mut = model.apply(
+        def forward(params, batch_stats, imgs, k_drop):
+            variables = {"params": params, "batch_stats": batch_stats}
+            return model.apply(
                 variables, imgs, train=True, mutable=["batch_stats"],
                 rngs={"dropout": k_drop},
             )
+
+        if remat:
+            # Rematerialize activations in the backward pass: trades FLOPs
+            # for HBM, enabling larger batches/patches (jax.checkpoint).
+            forward = jax.checkpoint(forward)
+
+        def loss_fn(params):
+            out, mut = forward(params, state.batch_stats, imgs, k_drop)
             loss, bce, d = combined_loss(out, labs, n_classes)
             return loss, mut["batch_stats"]
 

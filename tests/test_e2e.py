@@ -127,3 +127,25 @@ class TestTrainEval:
             x, train=False,
         )
         np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))
+
+
+class TestPredictor:
+    def test_from_checkpoint_predicts(self, tmp_path):
+        import jax
+
+        from jcfszxc_unet_tpu.eval.predictor import Predictor
+
+        model = create_model("RetinaLiteNet.TransFuseNet")
+        x = jnp.zeros((1, 16, 16, 3))
+        variables = model.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+        path = str(tmp_path / "p.ckpt")
+        ckpt.save_model(path, "RetinaLiteNet.TransFuseNet", {},
+                        variables["params"], variables["batch_stats"])
+        p = Predictor.from_checkpoint(path, compute_dtype=jnp.float32,
+                                      patch_size=16, inference_batch_size=4)
+        imgs = np.random.RandomState(0).rand(2, 48, 40, 3).astype(np.float32)
+        probs = p.predict_images(imgs)
+        assert probs.shape == (2, 48, 40)
+        assert 0.0 <= float(probs.min()) and float(probs.max()) <= 1.0
+        single = p.predict_full_image(imgs[0], patch_size=16, overlap=0.5)
+        assert single.shape == (48, 40)

@@ -127,3 +127,25 @@ class TestTiledPredictOnMesh:
                                 inference_batch_size=8, mesh=mesh)
         np.testing.assert_allclose(np.asarray(base), np.asarray(sharded),
                                    rtol=1e-6, atol=1e-7)
+
+
+class TestRemat:
+    def test_remat_matches_plain(self):
+        key = jax.random.PRNGKey(3)
+        model, state, _, im, lb, sm = _tiny_setup(None)
+        from jcfszxc_unet_tpu.train.trainer import make_epoch_fn as mef
+
+        tx = make_optimizer(1e-3)
+        e_plain = mef(model, tx, n_classes=1, batch_size=8, patch_size=16,
+                      steps=1)
+        e_remat = mef(model, tx, n_classes=1, batch_size=8, patch_size=16,
+                      steps=1, remat=True)
+        import copy
+
+        s_a, m_a = e_plain(state, im, lb, sm, key)
+        _, state2, _, *_ = _tiny_setup(None)
+        s_b, m_b = e_remat(state2, im, lb, sm, key)
+        assert abs(float(m_a["epoch_loss"]) - float(m_b["epoch_loss"])) < 1e-5
+        for a, b in zip(jax.tree.leaves(s_a.params), jax.tree.leaves(s_b.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-7)
