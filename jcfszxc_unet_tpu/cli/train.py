@@ -63,6 +63,8 @@ def train_model(
     profile_dir: str | None = None,
     init_variables=None,
     remat: bool = False,
+    latest_path: str | None = None,
+    resume_from: str | None = None,
 ):
     """Run the reference training protocol end-to-end; returns best dice.
 
@@ -144,6 +146,30 @@ def train_model(
     best_dice = 0.0
     patience_counter = 0
     epoch = 0
+
+    # Exact resume: restore optimizer/scheduler/progress saved by
+    # --latest-path (beyond the reference's params-only --load resume,
+    # which restarts the schedule, train.py:500-503).
+    if resume_from:
+        extra = ckpt.load_extra(resume_from)
+        if extra and "opt_state" in extra:
+            from flax import serialization as _ser
+
+            state = state.replace(
+                opt_state=_ser.from_state_dict(state.opt_state, extra["opt_state"])
+            )
+            prog = extra.get("progress", {})
+            epoch = int(prog.get("epoch", 0))
+            best_dice = float(prog.get("best_dice", 0.0))
+            patience_counter = int(prog.get("patience_counter", 0))
+            scheduler.best = float(prog.get("scheduler_best", float("-inf")))
+            scheduler.num_bad_epochs = int(prog.get("scheduler_bad", 0))
+            scheduler.cooldown_counter = int(prog.get("scheduler_cooldown", 0))
+            logging.info(
+                f"Resumed full training state from {resume_from} "
+                f"(epoch {epoch}, best dice {best_dice:.4f})"
+            )
+
     data_key = jax.random.fold_in(key, 0xDA7A)
     throughput = Throughput()  # steady-state patches/sec, compile excluded
 
@@ -201,6 +227,25 @@ def train_model(
             + (f" - skipped {skipped} NaN steps" if skipped else "")
         )
 
+        if latest_path:
+            from flax import serialization as _ser
+
+            ckpt.save_model(
+                latest_path, model_name, model_kwargs,
+                state.params, state.batch_stats,
+                extra={
+                    "opt_state": _ser.to_state_dict(state.opt_state),
+                    "progress": {
+                        "epoch": epoch,
+                        "best_dice": best_dice,
+                        "patience_counter": patience_counter,
+                        "scheduler_best": scheduler.best,
+                        "scheduler_bad": scheduler.num_bad_epochs,
+                        "scheduler_cooldown": scheduler.cooldown_counter,
+                    },
+                },
+            )
+
         if visualize and val_imgs.shape[0] > 0:
             sample_num = min(100, val_imgs.shape[0] - 1)
             save_triptych(
@@ -257,6 +302,12 @@ def get_args(argv=None):
     parser.add_argument("--remat", action="store_true",
                         help="Rematerialize activations in the backward pass "
                              "(larger batches/patches at extra FLOPs)")
+    parser.add_argument("--latest-path", type=str, default=None,
+                        help="Also save the FULL training state (optimizer + "
+                             "scheduler + progress) here every epoch")
+    parser.add_argument("--resume", type=str, default=None,
+                        help="Exact-resume from a --latest-path checkpoint "
+                             "(implies loading its params too)")
     return parser.parse_args(argv)
 
 
@@ -270,6 +321,8 @@ def main(argv=None):
     compute_dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
 
     init_variables = None
+    if args.resume and not args.load:
+        args.load = args.resume  # --resume implies loading params from it
     if args.load:
         model, init_variables, cfg = ckpt.load_model(args.load, dtype=compute_dtype)
         model_name, model_kwargs = cfg["model_name"], cfg["model_kwargs"]
@@ -305,6 +358,8 @@ def main(argv=None):
         profile_dir=args.profile_dir,
         init_variables=init_variables,
         remat=args.remat,
+        latest_path=args.latest_path,
+        resume_from=args.resume,
     )
 
 

@@ -149,3 +149,35 @@ class TestPredictor:
         assert 0.0 <= float(probs.min()) and float(probs.max()) <= 1.0
         single = p.predict_full_image(imgs[0], patch_size=16, overlap=0.5)
         assert single.shape == (48, 40)
+
+
+class TestExactResume:
+    def test_full_state_roundtrip(self, drive_h5, tmp_path):
+        """Train 2 epochs saving latest state; resume restores optimizer +
+        scheduler + progress and continues from epoch 3."""
+        model = create_model("RetinaLiteNet.TransFuseNet")
+        latest = str(tmp_path / "latest.ckpt")
+        train_model(
+            model=model, model_name="RetinaLiteNet.TransFuseNet",
+            model_kwargs={}, input_data=drive_h5["train"]["output_file"],
+            steps=2, batch_size=4, patch_size=16, learning_rate=1e-3,
+            val_percent=0.25, save_path=str(tmp_path / "best.ckpt"),
+            compute_dtype=jnp.float32, max_epochs=2, visualize=False,
+            latest_path=latest,
+        )
+        extra = ckpt.load_extra(latest)
+        assert extra["progress"]["epoch"] == 2
+        assert "opt_state" in extra
+
+        # resume: loads params + optimizer + progress, runs one more epoch
+        model2, variables, _ = ckpt.load_model(latest)
+        train_model(
+            model=model2, model_name="RetinaLiteNet.TransFuseNet",
+            model_kwargs={}, input_data=drive_h5["train"]["output_file"],
+            steps=2, batch_size=4, patch_size=16, learning_rate=1e-3,
+            val_percent=0.25, save_path=str(tmp_path / "best2.ckpt"),
+            compute_dtype=jnp.float32, max_epochs=3, visualize=False,
+            latest_path=latest, resume_from=latest, init_variables=variables,
+        )
+        extra2 = ckpt.load_extra(latest)
+        assert extra2["progress"]["epoch"] == 3
