@@ -27,7 +27,7 @@ from jcfszxc_unet_tpu.eval.tiling import tiled_predict
 from jcfszxc_unet_tpu.train import checkpoint as ckpt
 from jcfszxc_unet_tpu.train.losses import dice_coeff
 from jcfszxc_unet_tpu.utils.seed import set_seed
-from jcfszxc_unet_tpu.utils.vis import save_grayscale, save_triptych
+from jcfszxc_unet_tpu.utils.vis import save_error_panel, save_grayscale, save_triptych
 
 
 def eval_model(
@@ -42,6 +42,7 @@ def eval_model(
     visualize: bool = True,
     compute_auc: bool = True,
     mesh=None,
+    error_panels: bool = False,
 ):
     """Tiled evaluation; returns (mean_dice, per_image_dice, mean_auc).
 
@@ -89,6 +90,14 @@ def eval_model(
                 labels[i],
                 f"{output_dir}/prediction_{i}.png",
             )
+            if error_panels:
+                # TP/FP/FN color-coded panel (the API the reference defines
+                # in visualize_predictions, evaluate.py:99-161)
+                save_error_panel(
+                    np.asarray(dataset["images"][i], np.float32),
+                    labels[i], pred_img,
+                    f"{output_dir}/errors_{i}.png",
+                )
         binary = (pred_img > 0.5).astype(np.float32)
         dice_scores.append(float(dice_fn(jnp.asarray(binary), jnp.asarray(labels[i]))))
 
@@ -130,6 +139,8 @@ def get_args(argv=None):
     parser.add_argument("--devices", type=int, default=0,
                         help="Shard the tile axis over this many devices "
                              "(0 = all)")
+    parser.add_argument("--error-panels", action="store_true",
+                        help="Also write TP/FP/FN color-coded panels")
     return parser.parse_args(argv)
 
 
@@ -155,6 +166,7 @@ def main(argv=None):
         patch_size=args.patch_size,
         compute_dtype=compute_dtype,
         mesh=mesh,
+        error_panels=args.error_panels,
     )
 
 
