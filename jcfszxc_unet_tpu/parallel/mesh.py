@@ -17,6 +17,27 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def initialize_distributed(coordinator_address: Optional[str] = None,
+                           num_processes: Optional[int] = None,
+                           process_id: Optional[int] = None) -> None:
+    """Multi-host bring-up: join this process into a JAX distributed job so
+    ``jax.devices()`` spans every host's chips (DCN between hosts, ICI
+    within).  No-op when arguments are absent and no cluster env is set.
+
+    After this, the same 1-D ``data`` mesh code path scales across hosts —
+    the mesh helpers below are topology-agnostic.
+    """
+    import jax.distributed
+
+    if coordinator_address is None and num_processes is None:
+        return  # single-process (the common case in this repo)
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+
+
 def make_mesh(n_devices: Optional[int] = None, axis_name: str = "data") -> Mesh:
     """1-D data-parallel mesh over the first n (default: all) devices."""
     devices = jax.devices()

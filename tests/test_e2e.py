@@ -181,3 +181,25 @@ class TestExactResume:
         )
         extra2 = ckpt.load_extra(latest)
         assert extra2["progress"]["epoch"] == 3
+
+
+class TestExport:
+    def test_export_roundtrip(self, tmp_path):
+        import jax
+
+        from jcfszxc_unet_tpu.eval.export import (export_forward,
+                                                  load_exported)
+
+        model = create_model("RetinaLiteNet.TransFuseNet")
+        x = jnp.zeros((2, 16, 16, 3), jnp.float32)
+        variables = model.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+        blob = export_forward(model, variables, batch_size=2, patch_size=16,
+                              compute_dtype=jnp.float32)
+        assert isinstance(blob, (bytes, bytearray)) and len(blob) > 1000
+        fn = load_exported(bytes(blob))
+        rng = np.random.RandomState(0)
+        xin = jnp.asarray(rng.rand(2, 16, 16, 3), jnp.float32)
+        got = fn(xin)
+        want = jax.nn.sigmoid(model.apply(variables, xin, train=False))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-6)
