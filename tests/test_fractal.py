@@ -116,3 +116,40 @@ class TestExtractor:
         zeroed = jax.tree.map(jnp.zeros_like, variables)
         out0 = ext.apply(zeroed, x)
         np.testing.assert_allclose(np.asarray(out0), np.asarray(x), rtol=1e-6)
+
+
+class TestFractalEngine:
+    def test_one_epoch_end_to_end(self, tmp_path):
+        """Full fractal training engine on a tiny synthetic h5: one epoch,
+        checkpoint + bundle written, finite metrics."""
+        import os
+
+        import h5py
+
+        from jcfszxc_unet_tpu.models import create_model
+        from jcfszxc_unet_tpu.train import checkpoint as ckpt
+        from jcfszxc_unet_tpu.train.fractal import train_with_fractal_optimization
+
+        rng = np.random.RandomState(0)
+        n, h, w = 4, 64, 64
+        with h5py.File(tmp_path / "train.h5", "w") as f:
+            f.create_dataset("images", data=rng.rand(n, h, w, 3).astype(np.float32))
+            f.create_dataset("masks", data=(rng.rand(n, h, w) > 0.3).astype(np.float32))
+            f.create_dataset("labels", data=(rng.rand(n, h, w) > 0.8).astype(np.float32))
+            dt = h5py.special_dtype(vlen=str)
+            f.create_dataset("filenames", data=np.array([f"{i}.tif" for i in range(n)], dtype=dt))
+
+        model = create_model("RetinaLiteNet.TransFuseNet")
+        best = train_with_fractal_optimization(
+            model=model, model_name="RetinaLiteNet.TransFuseNet",
+            input_data=str(tmp_path / "train.h5"),
+            steps=2, batch_size=8, patch_size=32, learning_rate=1e-3,
+            val_percent=0.25, compute_dtype=jnp.float32, max_epochs=1,
+            visualize=False,
+            save_path=str(tmp_path / "best.ckpt"),
+            bundle_path=str(tmp_path / "bundle.ckpt"),
+        )
+        assert np.isfinite(best)
+        assert os.path.exists(tmp_path / "best.ckpt")
+        extra = ckpt.load_extra(str(tmp_path / "bundle.ckpt"))
+        assert "extractor_params" in extra and "opt_state" in extra
