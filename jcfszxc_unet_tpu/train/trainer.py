@@ -151,6 +151,16 @@ def make_val_fn(
     def val_fn(params, batch_stats, val_imgs, val_labs):
         variables = {"params": params, "batch_stats": batch_stats}
         total = val_imgs.shape[0]
+        if total == 0:
+            # Empty validation split (val_percent rounds to zero images):
+            # report zero dice rather than crashing (the reference would
+            # crash on np.stack of an empty patch list, train.py:334).
+            zero = jnp.zeros(())
+            return (
+                {"dice": zero, "dice_bg": zero, "dice_fg": zero,
+                 "dice_avg": zero},
+                jnp.zeros_like(val_labs, jnp.float32),
+            )
         bs = min(chunk_size, total)
         n_chunks = -(-total // bs)
         pad = n_chunks * bs - total

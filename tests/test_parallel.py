@@ -149,3 +149,16 @@ class TestRemat:
         for a, b in zip(jax.tree.leaves(s_a.params), jax.tree.leaves(s_b.params)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-5, atol=1e-7)
+
+
+class TestEmptyValidation:
+    def test_zero_val_images(self):
+        """val_percent that rounds to zero images must not crash (found by
+        the hardware CLI run with 6 train images at 10% validation)."""
+        model, state, _, *_ = _tiny_setup(None)
+        val_fn = make_val_fn(model, patch_size=16, chunk_size=8)
+        vi = jnp.zeros((0, 16, 16, 3))
+        vl = jnp.zeros((0, 16, 16, 1))
+        metrics, probs = val_fn(state.params, state.batch_stats, vi, vl)
+        assert float(metrics["dice"]) == 0.0
+        assert probs.shape[0] == 0
