@@ -22,7 +22,7 @@ from jcfszxc_unet_tpu.data.loading import (
     load_preprocessed_data,
     visualize_samples,
 )
-from jcfszxc_unet_tpu.eval.metrics import binary_dice, roc_auc
+from jcfszxc_unet_tpu.eval.metrics import roc_auc
 from jcfszxc_unet_tpu.eval.tiling import tiled_predict
 from jcfszxc_unet_tpu.train import checkpoint as ckpt
 from jcfszxc_unet_tpu.train.losses import dice_coeff

@@ -8,7 +8,7 @@ training framework.
 
 from __future__ import annotations
 
-from typing import Any, Optional, Tuple
+
 
 import jax
 import jax.numpy as jnp

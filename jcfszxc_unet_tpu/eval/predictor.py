@@ -14,7 +14,7 @@ fixed deployment shape are pure device execution.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

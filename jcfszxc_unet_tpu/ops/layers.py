@@ -15,7 +15,7 @@ semantics (reference: UNetFamily/utils/unet_parts.py) once and get:
 
 from __future__ import annotations
 
-from typing import Any, Optional, Sequence, Tuple, Union
+from typing import Any, Optional, Tuple, Union
 
 import flax.linen as nn
 import jax

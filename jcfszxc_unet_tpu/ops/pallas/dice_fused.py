@@ -9,12 +9,9 @@ path; the XLA fallback defines semantics and tests pin parity.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
 
 def dice_sums_xla(probs, target):

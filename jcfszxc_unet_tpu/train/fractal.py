@@ -28,11 +28,7 @@ Reference quirks preserved:
 
 from __future__ import annotations
 
-import functools
 import logging
-import math
-import os
-import time
 from typing import Any, Optional, Sequence, Tuple
 
 import flax.linen as nn

@@ -24,7 +24,7 @@ over ICI (SURVEY.md §2.5).
 from __future__ import annotations
 
 import functools
-from typing import Any, Callable, Optional, Tuple
+from typing import Callable
 
 import jax
 import jax.numpy as jnp

@@ -14,7 +14,7 @@ All functions take NHWC/HWC float arrays in [0,1].
 from __future__ import annotations
 
 import os
-from typing import Optional, Sequence
+from typing import Sequence
 
 import numpy as np
 

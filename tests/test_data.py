@@ -1,13 +1,10 @@
 """Data pipeline tests: sample-map semantics, on-device patch extraction,
 h5 schema roundtrip, preprocessing enhancements."""
 
-import os
-
 import h5py
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from jcfszxc_unet_tpu.data import preprocess as P
 from jcfszxc_unet_tpu.data import sampler as S

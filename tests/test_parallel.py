@@ -140,7 +140,6 @@ class TestRemat:
                       steps=1)
         e_remat = mef(model, tx, n_classes=1, batch_size=8, patch_size=16,
                       steps=1, remat=True)
-        import copy
 
         s_a, m_a = e_plain(state, im, lb, sm, key)
         _, state2, _, *_ = _tiny_setup(None)
