@@ -140,3 +140,76 @@ def test_unet_full_forward_matches_torch():
     got = model.apply({"params": params, "batch_stats": stats},
                       jnp.asarray(x_np), train=False)
     np.testing.assert_allclose(np.asarray(got), want, rtol=2e-3, atol=2e-4)
+
+
+def test_segnet_full_forward_matches_torch():
+    """SegNet whole-model parity: 13-conv encoder with indexed pooling and
+    the mirrored unpooling decoder (models/SegNet.py vs a torch functional
+    oracle) — pins the pool-index routing across all five stages."""
+    rng = np.random.RandomState(1)
+    tp = _TorchParams(rng)
+    enc_plan = [("11", 3, 64), ("12", 64, 64),
+                ("21", 64, 128), ("22", 128, 128),
+                ("31", 128, 256), ("32", 256, 256), ("33", 256, 256),
+                ("41", 256, 512), ("42", 512, 512), ("43", 512, 512),
+                ("51", 512, 512), ("52", 512, 512), ("53", 512, 512)]
+    dec_plan = [("53d", 512, 512), ("52d", 512, 512), ("51d", 512, 512),
+                ("43d", 512, 512), ("42d", 512, 512), ("41d", 512, 256),
+                ("33d", 256, 256), ("32d", 256, 256), ("31d", 256, 128),
+                ("22d", 128, 128), ("21d", 128, 64),
+                ("12d", 64, 64)]
+    layers = {}
+    for tag, cin, cout in enc_plan + dec_plan:
+        w = tp.conv(cin, cout)
+        b = torch.from_numpy((rng.randn(cout) * 0.05).astype(np.float32))
+        layers[tag] = (w, b, tp.bn(cout))
+    w_fin = tp.conv(64, 1)
+    b_fin = torch.from_numpy((rng.randn(1) * 0.05).astype(np.float32))
+
+    def cbr(tag, v):
+        w, b, bn = layers[tag]
+        v = F.conv2d(v, w, b, padding=1)
+        v = F.batch_norm(v, bn["mean"], bn["var"], bn["weight"], bn["bias"],
+                         training=False)
+        return F.relu(v)
+
+    x_np = rng.rand(2, 32, 32, 3).astype(np.float32)
+    v = torch.from_numpy(x_np).permute(0, 3, 1, 2)
+    ids = []
+    stages = [("11", "12"), ("21", "22"), ("31", "32", "33"),
+              ("41", "42", "43"), ("51", "52", "53")]
+    for stage in stages:
+        for tag in stage:
+            v = cbr(tag, v)
+        v, idx = F.max_pool2d(v, 2, 2, return_indices=True)
+        ids.append(idx)
+    dec_stages = [("53d", "52d", "51d"), ("43d", "42d", "41d"),
+                  ("33d", "32d", "31d"), ("22d", "21d"), ("12d",)]
+    for stage, idx in zip(dec_stages, reversed(ids)):
+        v = F.max_unpool2d(v, idx, 2, 2)
+        for tag in stage:
+            v = cbr(tag, v)
+    want = F.conv2d(v, w_fin, b_fin, padding=1)
+    want = want.permute(0, 2, 3, 1).detach().numpy()
+
+    # transplant
+    params, stats = {}, {}
+    for tag, _, _ in enc_plan + dec_plan:
+        w, b, bn = layers[tag]
+        params[f"conv{tag}"] = {"conv": {
+            "kernel": jnp.asarray(w.numpy().transpose(2, 3, 1, 0)),
+            "bias": jnp.asarray(b.numpy())}}
+        params[f"bn{tag}"] = {"bn": {
+            "scale": jnp.asarray(bn["weight"].numpy()),
+            "bias": jnp.asarray(bn["bias"].numpy())}}
+        stats[f"bn{tag}"] = {"bn": {
+            "mean": jnp.asarray(bn["mean"].numpy()),
+            "var": jnp.asarray(bn["var"].numpy())}}
+    params["conv11d"] = {"conv": {
+        "kernel": jnp.asarray(w_fin.numpy().transpose(2, 3, 1, 0)),
+        "bias": jnp.asarray(b_fin.numpy())}}
+
+    model = create_model("SegNet.SegNet")
+    got = model.apply({"params": params, "batch_stats": stats},
+                      jnp.asarray(x_np), train=False)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-3, atol=2e-4)
