@@ -213,3 +213,143 @@ def test_segnet_full_forward_matches_torch():
     got = model.apply({"params": params, "batch_stats": stats},
                       jnp.asarray(x_np), train=False)
     np.testing.assert_allclose(np.asarray(got), want, rtol=2e-3, atol=2e-4)
+
+
+def test_attention_unet_full_forward_matches_torch():
+    """AttentionUNet whole-model parity — pins the gate orientation
+    (g = decoder path, x = skip) and the cat((gated_skip, up)) order
+    (models/AttentionUNet.py vs reference AttentionUNet.py:47-86)."""
+    rng = np.random.RandomState(2)
+    tp = _TorchParams(rng)
+
+    def make_cb(cin, cout):  # conv_block: (conv3x3 bias -> BN -> relu) x2
+        return {
+            "w0": tp.conv(cin, cout),
+            "b0": torch.from_numpy((rng.randn(cout) * .05).astype(np.float32)),
+            "bn0": tp.bn(cout),
+            "w1": tp.conv(cout, cout),
+            "b1": torch.from_numpy((rng.randn(cout) * .05).astype(np.float32)),
+            "bn1": tp.bn(cout),
+        }
+
+    def cb_fwd(x, p):
+        for i in (0, 1):
+            x = F.conv2d(x, p[f"w{i}"], p[f"b{i}"], padding=1)
+            bn = p[f"bn{i}"]
+            x = F.batch_norm(x, bn["mean"], bn["var"], bn["weight"],
+                             bn["bias"], training=False)
+            x = F.relu(x)
+        return x
+
+    def make_up(cin, cout):  # up_conv: nearest x2 -> conv3x3 -> BN -> relu
+        return {"w": tp.conv(cin, cout),
+                "b": torch.from_numpy((rng.randn(cout) * .05).astype(np.float32)),
+                "bn": tp.bn(cout)}
+
+    def up_fwd(x, p):
+        x = F.interpolate(x, scale_factor=2, mode="nearest")
+        x = F.conv2d(x, p["w"], p["b"], padding=1)
+        bn = p["bn"]
+        x = F.batch_norm(x, bn["mean"], bn["var"], bn["weight"], bn["bias"],
+                         training=False)
+        return F.relu(x)
+
+    def make_att(fg, fl, fi):
+        def c1(cin, cout):
+            return (tp.conv(cin, cout, k=1),
+                    torch.from_numpy((rng.randn(cout) * .05).astype(np.float32)))
+        return {"wg": c1(fg, fi), "bng": tp.bn(fi),
+                "wx": c1(fl, fi), "bnx": tp.bn(fi),
+                "wp": c1(fi, 1), "bnp": tp.bn(1)}
+
+    def att_fwd(g, x, p):
+        def cbn(v, wb, bn):
+            v = F.conv2d(v, wb[0], wb[1])
+            return F.batch_norm(v, bn["mean"], bn["var"], bn["weight"],
+                                bn["bias"], training=False)
+        g1 = cbn(g, p["wg"], p["bng"])
+        x1 = cbn(x, p["wx"], p["bnx"])
+        psi = torch.sigmoid(cbn(F.relu(g1 + x1), p["wp"], p["bnp"]))
+        return x * psi
+
+    convs = {f"Conv{i+1}": make_cb(cin, cout)
+             for i, (cin, cout) in enumerate(
+                 [(3, 64), (64, 128), (128, 256), (256, 512), (512, 1024)])}
+    ups = {f"Up{i}": make_up(c, c // 2) for i, c in
+           zip((5, 4, 3, 2), (1024, 512, 256, 128))}
+    atts = {f"Att{i}": make_att(c // 2, c // 2, c // 4) for i, c in
+            zip((5, 4, 3, 2), (1024, 512, 256, 128))}
+    upconvs = {f"Up_conv{i}": make_cb(c, c // 2) for i, c in
+               zip((5, 4, 3, 2), (1024, 512, 256, 128))}
+    w_fin = tp.conv(64, 1, k=1)
+    b_fin = torch.from_numpy((rng.randn(1) * .05).astype(np.float32))
+
+    x_np = rng.rand(2, 32, 32, 3).astype(np.float32)
+    v = torch.from_numpy(x_np).permute(0, 3, 1, 2)
+    x1 = cb_fwd(v, convs["Conv1"])
+    x2 = cb_fwd(F.max_pool2d(x1, 2), convs["Conv2"])
+    x3 = cb_fwd(F.max_pool2d(x2, 2), convs["Conv3"])
+    x4 = cb_fwd(F.max_pool2d(x3, 2), convs["Conv4"])
+    x5 = cb_fwd(F.max_pool2d(x4, 2), convs["Conv5"])
+    d = x5
+    for i, skip in zip((5, 4, 3, 2), (x4, x3, x2, x1)):
+        d_up = up_fwd(d, ups[f"Up{i}"])
+        gated = att_fwd(d_up, skip, atts[f"Att{i}"])
+        d = cb_fwd(torch.cat((gated, d_up), dim=1), upconvs[f"Up_conv{i}"])
+    want = F.conv2d(d, w_fin, b_fin).permute(0, 2, 3, 1).detach().numpy()
+
+    # transplant
+    def cb_to_flax(p):
+        params, stats = {}, {}
+        for i in (0, 1):
+            params[f"Conv2d_{i}"] = {"conv": {
+                "kernel": jnp.asarray(p[f"w{i}"].numpy().transpose(2, 3, 1, 0)),
+                "bias": jnp.asarray(p[f"b{i}"].numpy())}}
+            bn = p[f"bn{i}"]
+            params[f"BatchNorm2d_{i}"] = {"bn": {
+                "scale": jnp.asarray(bn["weight"].numpy()),
+                "bias": jnp.asarray(bn["bias"].numpy())}}
+            stats[f"BatchNorm2d_{i}"] = {"bn": {
+                "mean": jnp.asarray(bn["mean"].numpy()),
+                "var": jnp.asarray(bn["var"].numpy())}}
+        return params, stats
+
+    params, stats = {}, {}
+    for name, p in convs.items():
+        params[name], stats[name] = cb_to_flax(p)
+    for name, p in upconvs.items():
+        params[name], stats[name] = cb_to_flax(p)
+    for name, p in ups.items():
+        params[name] = {"Conv2d_0": {"conv": {
+            "kernel": jnp.asarray(p["w"].numpy().transpose(2, 3, 1, 0)),
+            "bias": jnp.asarray(p["b"].numpy())}},
+            "BatchNorm2d_0": {"bn": {
+                "scale": jnp.asarray(p["bn"]["weight"].numpy()),
+                "bias": jnp.asarray(p["bn"]["bias"].numpy())}}}
+        stats[name] = {"BatchNorm2d_0": {"bn": {
+            "mean": jnp.asarray(p["bn"]["mean"].numpy()),
+            "var": jnp.asarray(p["bn"]["var"].numpy())}}}
+    for name, p in atts.items():
+        prm, st = {}, {}
+        for j, (wb_key, bn_key) in enumerate(
+                [("wg", "bng"), ("wx", "bnx"), ("wp", "bnp")]):
+            w, b = p[wb_key]
+            prm[f"Conv2d_{j}"] = {"conv": {
+                "kernel": jnp.asarray(w.numpy().transpose(2, 3, 1, 0)),
+                "bias": jnp.asarray(b.numpy())}}
+            bn = p[bn_key]
+            prm[f"BatchNorm2d_{j}"] = {"bn": {
+                "scale": jnp.asarray(bn["weight"].numpy()),
+                "bias": jnp.asarray(bn["bias"].numpy())}}
+            st[f"BatchNorm2d_{j}"] = {"bn": {
+                "mean": jnp.asarray(bn["mean"].numpy()),
+                "var": jnp.asarray(bn["var"].numpy())}}
+        params[name], stats[name] = prm, st
+    params["Conv_1x1"] = {"conv": {
+        "kernel": jnp.asarray(w_fin.numpy().transpose(2, 3, 1, 0)),
+        "bias": jnp.asarray(b_fin.numpy())}}
+
+    model = create_model("AttentionUNet.AttentionUNet")
+    got = model.apply({"params": params, "batch_stats": stats},
+                      jnp.asarray(x_np), train=False)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-3, atol=2e-4)
