@@ -178,3 +178,78 @@ def test_double_conv_matches_torch():
         jnp.asarray(x), True, mutable=["batch_stats"],
     )
     np.testing.assert_allclose(np.asarray(got), _nhwc(want), rtol=1e-3, atol=1e-4)
+
+
+def test_respath_double_bn_quirk_matches_torch():
+    """Respath applies the SAME BatchNorm twice per iteration
+    (unet_parts.py:784-788: self.bns[i] is used after the conv AND after
+    the residual add).  Torch oracle in eval mode, length-2 path, weights
+    transplanted — pins the double application and the relu/add ordering."""
+    torch.manual_seed(7)
+    rng = np.random.RandomState(8)
+    C = 8
+
+    def bn_params():
+        return dict(
+            weight=torch.from_numpy(rng.rand(C).astype(np.float32) + 0.5),
+            bias=torch.from_numpy((rng.randn(C) * 0.1).astype(np.float32)),
+            mean=torch.from_numpy((rng.randn(C) * 0.2).astype(np.float32)),
+            var=torch.from_numpy(rng.rand(C).astype(np.float32) + 0.5),
+        )
+
+    def conv_params_t(k):
+        w = torch.from_numpy(
+            (rng.randn(C, C, k, k) * 0.2).astype(np.float32))
+        b = torch.from_numpy((rng.randn(C) * 0.05).astype(np.float32))
+        return w, b
+
+    iters = []
+    for _ in range(2):
+        iters.append(dict(
+            sc=conv_params_t(1), sc_bn=bn_params(),
+            cv=conv_params_t(3), cv_bn=bn_params(),
+            dbl_bn=bn_params(),  # the shared, twice-applied BN
+        ))
+
+    def bn_eval(v, p):
+        return F.batch_norm(v, p["mean"], p["var"], p["weight"], p["bias"],
+                            training=False)
+
+    x_np = rng.rand(2, 8, 8, C).astype(np.float32)
+    v = _nchw(x_np)
+    for it in iters:
+        shortcut = bn_eval(F.conv2d(v, *it["sc"]), it["sc_bn"])  # Conv2d_batchnorm act=None
+        v = F.relu(bn_eval(F.conv2d(v, *it["cv"], padding=1), it["cv_bn"]))
+        v = F.relu(bn_eval(v, it["dbl_bn"]))      # first application
+        v = v + shortcut
+        v = F.relu(bn_eval(v, it["dbl_bn"]))      # second application (quirk)
+    want = _nhwc(v)
+
+    def conv_flax(w, b):
+        return {"conv": {"kernel": jnp.asarray(w.numpy().transpose(2, 3, 1, 0)),
+                         "bias": jnp.asarray(b.numpy())}}
+
+    def bn_flax(p):
+        return ({"bn": {"scale": jnp.asarray(p["weight"].numpy()),
+                        "bias": jnp.asarray(p["bias"].numpy())}},
+                {"bn": {"mean": jnp.asarray(p["mean"].numpy()),
+                        "var": jnp.asarray(p["var"].numpy())}})
+
+    params, stats = {}, {}
+    for i, it in enumerate(iters):
+        pb, sb = bn_flax(it["sc_bn"])
+        params[f"shortcut_{i}"] = {"Conv2d_0": conv_flax(*it["sc"]),
+                                   "BatchNorm2d_0": pb}
+        stats[f"shortcut_{i}"] = {"BatchNorm2d_0": sb}
+        pb, sb = bn_flax(it["cv_bn"])
+        params[f"conv_{i}"] = {"Conv2d_0": conv_flax(*it["cv"]),
+                               "BatchNorm2d_0": pb}
+        stats[f"conv_{i}"] = {"BatchNorm2d_0": sb}
+        pb, sb = bn_flax(it["dbl_bn"])
+        params[f"bn_{i}"] = pb
+        stats[f"bn_{i}"] = sb
+
+    mod = B.Respath(C, C, 2)
+    got = mod.apply({"params": params, "batch_stats": stats},
+                    jnp.asarray(x_np), False)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-5)
