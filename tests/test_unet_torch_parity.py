@@ -353,3 +353,101 @@ def test_attention_unet_full_forward_matches_torch():
     got = model.apply({"params": params, "batch_stats": stats},
                       jnp.asarray(x_np), train=False)
     np.testing.assert_allclose(np.asarray(got), want, rtol=2e-3, atol=2e-4)
+
+
+def test_nested_unet_full_forward_matches_torch():
+    """NestedUNet (UNet++) whole-model parity — pins the 15-node dense skip
+    grid's concat orders and the bilinear(align_corners=True) upsampling
+    (models/UNetPP.py vs reference UNetPP.py:73-107).  Eval mode."""
+    rng = np.random.RandomState(5)
+    tp = _TorchParams(rng)
+    nb = [32, 64, 128, 256, 512]
+
+    def make_dcb(cin, cout):  # UNetPP private DoubleConv: convs WITH bias
+        return {"w0": tp.conv(cin, cout),
+                "b0": torch.from_numpy((rng.randn(cout) * .05).astype(np.float32)),
+                "bn0": tp.bn(cout),
+                "w1": tp.conv(cout, cout),
+                "b1": torch.from_numpy((rng.randn(cout) * .05).astype(np.float32)),
+                "bn1": tp.bn(cout)}
+
+    def dcb_fwd(x, p):
+        for i in (0, 1):
+            x = F.conv2d(x, p[f"w{i}"], p[f"b{i}"], padding=1)
+            bn = p[f"bn{i}"]
+            x = F.batch_norm(x, bn["mean"], bn["var"], bn["weight"],
+                             bn["bias"], training=False)
+            x = F.relu(x)
+        return x
+
+    plan = {
+        "conv0_0": (3, nb[0]), "conv1_0": (nb[0], nb[1]),
+        "conv2_0": (nb[1], nb[2]), "conv3_0": (nb[2], nb[3]),
+        "conv4_0": (nb[3], nb[4]),
+        "conv0_1": (nb[0] + nb[1], nb[0]), "conv1_1": (nb[1] + nb[2], nb[1]),
+        "conv2_1": (nb[2] + nb[3], nb[2]), "conv3_1": (nb[3] + nb[4], nb[3]),
+        "conv0_2": (nb[0] * 2 + nb[1], nb[0]),
+        "conv1_2": (nb[1] * 2 + nb[2], nb[1]),
+        "conv2_2": (nb[2] * 2 + nb[3], nb[2]),
+        "conv0_3": (nb[0] * 3 + nb[1], nb[0]),
+        "conv1_3": (nb[1] * 3 + nb[2], nb[1]),
+        "conv0_4": (nb[0] * 4 + nb[1], nb[0]),
+    }
+    nodes = {k: make_dcb(*v) for k, v in plan.items()}
+    w_fin = tp.conv(nb[0], 1, k=1)
+    b_fin = torch.from_numpy((rng.randn(1) * .05).astype(np.float32))
+
+    up = lambda t: F.interpolate(t, scale_factor=2, mode="bilinear",
+                                 align_corners=True)
+    pool = lambda t: F.max_pool2d(t, 2, 2)
+    cat = lambda *ts: torch.cat(ts, dim=1)
+
+    x_np = rng.rand(2, 32, 32, 3).astype(np.float32)
+    v = torch.from_numpy(x_np).permute(0, 3, 1, 2)
+    n = {}
+    n["0_0"] = dcb_fwd(v, nodes["conv0_0"])
+    n["1_0"] = dcb_fwd(pool(n["0_0"]), nodes["conv1_0"])
+    n["0_1"] = dcb_fwd(cat(n["0_0"], up(n["1_0"])), nodes["conv0_1"])
+    n["2_0"] = dcb_fwd(pool(n["1_0"]), nodes["conv2_0"])
+    n["1_1"] = dcb_fwd(cat(n["1_0"], up(n["2_0"])), nodes["conv1_1"])
+    n["0_2"] = dcb_fwd(cat(n["0_0"], n["0_1"], up(n["1_1"])), nodes["conv0_2"])
+    n["3_0"] = dcb_fwd(pool(n["2_0"]), nodes["conv3_0"])
+    n["2_1"] = dcb_fwd(cat(n["2_0"], up(n["3_0"])), nodes["conv2_1"])
+    n["1_2"] = dcb_fwd(cat(n["1_0"], n["1_1"], up(n["2_1"])), nodes["conv1_2"])
+    n["0_3"] = dcb_fwd(cat(n["0_0"], n["0_1"], n["0_2"], up(n["1_2"])),
+                       nodes["conv0_3"])
+    n["4_0"] = dcb_fwd(pool(n["3_0"]), nodes["conv4_0"])
+    n["3_1"] = dcb_fwd(cat(n["3_0"], up(n["4_0"])), nodes["conv3_1"])
+    n["2_2"] = dcb_fwd(cat(n["2_0"], n["2_1"], up(n["3_1"])), nodes["conv2_2"])
+    n["1_3"] = dcb_fwd(cat(n["1_0"], n["1_1"], n["1_2"], up(n["2_2"])),
+                       nodes["conv1_3"])
+    n["0_4"] = dcb_fwd(cat(n["0_0"], n["0_1"], n["0_2"], n["0_3"],
+                           up(n["1_3"])), nodes["conv0_4"])
+    want = torch.sigmoid(F.conv2d(n["0_4"], w_fin, b_fin))
+    want = want.permute(0, 2, 3, 1).detach().numpy()
+
+    # transplant
+    params, stats = {}, {}
+    for name, p in nodes.items():
+        prm, st = {}, {}
+        for i in (0, 1):
+            prm[f"Conv2d_{i}"] = {"conv": {
+                "kernel": jnp.asarray(p[f"w{i}"].numpy().transpose(2, 3, 1, 0)),
+                "bias": jnp.asarray(p[f"b{i}"].numpy())}}
+            bn = p[f"bn{i}"]
+            prm[f"BatchNorm2d_{i}"] = {"bn": {
+                "scale": jnp.asarray(bn["weight"].numpy()),
+                "bias": jnp.asarray(bn["bias"].numpy())}}
+            st[f"BatchNorm2d_{i}"] = {"bn": {
+                "mean": jnp.asarray(bn["mean"].numpy()),
+                "var": jnp.asarray(bn["var"].numpy())}}
+        params[name] = prm
+        stats[name] = st
+    params["final"] = {"conv": {
+        "kernel": jnp.asarray(w_fin.numpy().transpose(2, 3, 1, 0)),
+        "bias": jnp.asarray(b_fin.numpy())}}
+
+    model = create_model("UNetPP.NestedUNet")
+    got = model.apply({"params": params, "batch_stats": stats},
+                      jnp.asarray(x_np), train=False)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-3, atol=2e-4)
