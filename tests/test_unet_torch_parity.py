@@ -451,3 +451,252 @@ def test_nested_unet_full_forward_matches_torch():
     got = model.apply({"params": params, "batch_stats": stats},
                       jnp.asarray(x_np), train=False)
     np.testing.assert_allclose(np.asarray(got), want, rtol=2e-3, atol=2e-4)
+
+
+def test_resunet_full_forward_matches_torch():
+    """ResUNet whole-model parity — pins the pre-activation residual blocks
+    (BN-ReLU-Conv(stride) -> BN-ReLU-Conv + Conv-BN skip), the bare
+    ConvTranspose decoder, concat([up, skip]) order and the sigmoid head
+    (models/ResUNet.py vs reference ResUNet.py:51-76).  Eval mode."""
+    rng = np.random.RandomState(6)
+    tp = _TorchParams(rng)
+
+    def convb(cin, cout, k=3):
+        w = tp.conv(cin, cout, k=k)
+        b = torch.from_numpy((rng.randn(cout) * .05).astype(np.float32))
+        return w, b
+
+    def make_rc(cin, cout):  # ResidualConv(stride handled at fwd)
+        return {"bn_in": tp.bn(cin), "w0": convb(cin, cout),
+                "bn_mid": tp.bn(cout), "w1": convb(cout, cout),
+                "ws": convb(cin, cout), "bn_s": tp.bn(cout)}
+
+    def bn_eval(v, p):
+        return F.batch_norm(v, p["mean"], p["var"], p["weight"], p["bias"],
+                            training=False)
+
+    def rc_fwd(x, p, stride):
+        h = F.relu(bn_eval(x, p["bn_in"]))
+        h = F.conv2d(h, *p["w0"], stride=stride, padding=1)
+        h = F.relu(bn_eval(h, p["bn_mid"]))
+        h = F.conv2d(h, *p["w1"], padding=1)
+        s = bn_eval(F.conv2d(x, *p["ws"], stride=stride, padding=1), p["bn_s"])
+        return h + s
+
+    in_c1 = convb(3, 64)
+    in_bn = tp.bn(64)
+    in_c2 = convb(64, 64)
+    in_skip = convb(3, 64)
+    rc1, rc2 = make_rc(64, 128), make_rc(128, 256)
+    bridge = make_rc(256, 512)
+    up_t = {f"upsample_{i}": tp.convt(c, c) for i, c in
+            zip((1, 2, 3), (512, 256, 128))}
+    urc = {"up_residual_conv1": make_rc(512 + 256, 256),
+           "up_residual_conv2": make_rc(128 + 256, 128),
+           "up_residual_conv3": make_rc(128 + 64, 64)}
+    w_out = convb(64, 1, k=1)
+
+    x_np = rng.rand(2, 32, 32, 3).astype(np.float32)
+    v = torch.from_numpy(x_np).permute(0, 3, 1, 2)
+    h = F.conv2d(v, *in_c1, padding=1)
+    h = F.relu(bn_eval(h, in_bn))
+    h = F.conv2d(h, *in_c2, padding=1)
+    x1 = h + F.conv2d(v, *in_skip, padding=1)
+    x2 = rc_fwd(x1, rc1, 2)
+    x3 = rc_fwd(x2, rc2, 2)
+    x4 = rc_fwd(x3, bridge, 2)
+    x4 = F.conv_transpose2d(x4, *up_t["upsample_1"], stride=2)
+    x6 = rc_fwd(torch.cat([x4, x3], dim=1), urc["up_residual_conv1"], 1)
+    x6 = F.conv_transpose2d(x6, *up_t["upsample_2"], stride=2)
+    x8 = rc_fwd(torch.cat([x6, x2], dim=1), urc["up_residual_conv2"], 1)
+    x8 = F.conv_transpose2d(x8, *up_t["upsample_3"], stride=2)
+    x10 = rc_fwd(torch.cat([x8, x1], dim=1), urc["up_residual_conv3"], 1)
+    want = torch.sigmoid(F.conv2d(x10, *w_out))
+    want = want.permute(0, 2, 3, 1).detach().numpy()
+
+    # transplant
+    def conv_flax(wb):
+        w, b = wb
+        return {"conv": {"kernel": jnp.asarray(w.numpy().transpose(2, 3, 1, 0)),
+                         "bias": jnp.asarray(b.numpy())}}
+
+    def bn_flax(bn):
+        return ({"bn": {"scale": jnp.asarray(bn["weight"].numpy()),
+                        "bias": jnp.asarray(bn["bias"].numpy())}},
+                {"bn": {"mean": jnp.asarray(bn["mean"].numpy()),
+                        "var": jnp.asarray(bn["var"].numpy())}})
+
+    def rc_flax(p):
+        prm, st = {}, {}
+        for j, key in enumerate(("bn_in", "bn_mid", "bn_s")):
+            pb, sb = bn_flax(p[key])
+            prm[f"BatchNorm2d_{j}"] = pb
+            st[f"BatchNorm2d_{j}"] = sb
+        prm["Conv2d_0"] = conv_flax(p["w0"])
+        prm["Conv2d_1"] = conv_flax(p["w1"])
+        prm["Conv2d_2"] = conv_flax(p["ws"])
+        return prm, st
+
+    params, stats = {}, {}
+    params["input_conv1"] = conv_flax(in_c1)
+    pb, sb = bn_flax(in_bn)
+    params["input_bn"], stats["input_bn"] = pb, sb
+    params["input_conv2"] = conv_flax(in_c2)
+    params["input_skip"] = conv_flax(in_skip)
+    for name, p in [("residual_conv_1", rc1), ("residual_conv_2", rc2),
+                    ("bridge", bridge)] + list(urc.items()):
+        params[name], stats[name] = rc_flax(p)
+    for name, (w, b) in up_t.items():
+        k = w.numpy().transpose(2, 3, 0, 1)[::-1, ::-1].copy()
+        params[name] = {"ConvTranspose2d_0": {"conv": {
+            "kernel": jnp.asarray(k), "bias": jnp.asarray(b.numpy())}}}
+    params["output_layer"] = conv_flax(w_out)
+
+    model = create_model("ResUNet.ResUNet")
+    got = model.apply({"params": params, "batch_stats": stats},
+                      jnp.asarray(x_np), train=False)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-3, atol=2e-4)
+
+
+def test_transfusenet_full_forward_matches_torch():
+    """TransFuseNet whole-model parity — pins the conv->relu->pool->BN
+    encoder ordering, the MHA output's mean-pool-over-tokens + broadcast
+    back to HxW (RetinaLiteNet.py:163-172), the private (bias-free spatial)
+    CBAMs, and the k3/s2/p1/op1 ConvTranspose decoder.  Eval mode."""
+    rng = np.random.RandomState(7)
+    tp = _TorchParams(rng)
+
+    def convb(cin, cout, k=3):
+        w = tp.conv(cin, cout, k=k)
+        b = torch.from_numpy((rng.randn(cout) * .05).astype(np.float32))
+        return w, b
+
+    def bn_eval(v, p):
+        return F.batch_norm(v, p["mean"], p["var"], p["weight"], p["bias"],
+                            training=False)
+
+    enc = {f"conv_block{i+1}": (convb(cin, cout), tp.bn(cout))
+           for i, (cin, cout) in enumerate([(3, 8), (8, 16), (16, 32)])}
+    e = 32
+    in_proj_w = torch.from_numpy((rng.randn(3 * e, e) / np.sqrt(e)).astype(np.float32))
+    in_proj_b = torch.from_numpy((rng.randn(3 * e) * .02).astype(np.float32))
+    out_proj_w = torch.from_numpy((rng.randn(e, e) / np.sqrt(e)).astype(np.float32))
+    out_proj_b = torch.from_numpy((rng.randn(e) * .02).astype(np.float32))
+
+    def make_cbam(c, ratio=16):
+        return {"m0": tp.conv(c, max(c // ratio, 1), k=1),
+                "m1": tp.conv(max(c // ratio, 1), c, k=1),
+                "sp": tp.conv(2, 1, k=7)}
+
+    cbams = {"cbam1": make_cbam(32), "cbam2": make_cbam(32), "cbam3": make_cbam(16)}
+
+    def cbam_fwd(v, c):
+        def mlp(t):
+            return F.conv2d(F.relu(F.conv2d(t, c["m0"])), c["m1"])
+        att = torch.sigmoid(mlp(F.adaptive_avg_pool2d(v, 1))
+                            + mlp(F.adaptive_max_pool2d(v, 1)))
+        v = v * att
+        sa = torch.cat([v.mean(1, keepdim=True),
+                        v.max(1, keepdim=True).values], dim=1)
+        return v * torch.sigmoid(F.conv2d(sa, c["sp"], padding=3))
+
+    def convt(cin, cout):
+        w = torch.from_numpy((rng.randn(cin, cout, 3, 3)
+                              / np.sqrt(cout * 9)).astype(np.float32))
+        b = torch.from_numpy((rng.randn(cout) * .05).astype(np.float32))
+        return w, b
+
+    dec1_t, dec2_t, dec3_t = convt(64, 32), convt(32, 16), convt(16, 8)
+    dconv1, dconv2 = convb(48, 32), convb(24, 16)
+    dec3_c = convb(8, 8)
+    w_bv = convb(8, 1, k=1)
+    w_od = convb(8, 1, k=1)
+
+    x_np = rng.rand(2, 32, 32, 3).astype(np.float32)
+    v = torch.from_numpy(x_np).permute(0, 3, 1, 2)
+
+    def enc_fwd(v, name):
+        (w, b), bn = enc[name]
+        v = F.max_pool2d(F.relu(F.conv2d(v, w, b, padding=1)), 2)
+        return bn_eval(v, bn)
+
+    c1 = enc_fwd(v, "conv_block1")
+    c2 = enc_fwd(c1, "conv_block2")
+    c3 = enc_fwd(c2, "conv_block3")
+    b_, ch, hh, ww = c3.shape
+    tokens = c3.permute(0, 2, 3, 1).reshape(b_, hh * ww, ch)
+    qkv = tokens @ in_proj_w.T + in_proj_b
+    q, k, vv = qkv.split(e, dim=-1)
+    nh, hd = 4, e // 4
+    def heads(t):
+        return t.reshape(b_, -1, nh, hd).transpose(1, 2)
+    att = torch.softmax(heads(q) @ heads(k).transpose(-1, -2) / np.sqrt(hd), -1)
+    o = (att @ heads(vv)).transpose(1, 2).reshape(b_, -1, e)
+    o = o @ out_proj_w.T + out_proj_b
+    pooled = o.mean(dim=1, keepdim=True)  # the mean-pool-broadcast quirk
+    bc = pooled.reshape(b_, 1, 1, ch).expand(b_, hh, ww, ch).permute(0, 3, 1, 2)
+    att1 = cbam_fwd(bc, cbams["cbam1"])
+    fused = torch.cat([c3, att1], dim=1)
+    d1 = F.relu(F.conv_transpose2d(fused, *dec1_t, stride=2, padding=1,
+                                   output_padding=1))
+    d1 = torch.cat([cbam_fwd(d1, cbams["cbam2"]), c2], dim=1)
+    d1 = F.relu(F.conv2d(d1, *dconv1, padding=1))
+    d2 = F.relu(F.conv_transpose2d(d1, *dec2_t, stride=2, padding=1,
+                                   output_padding=1))
+    d2 = torch.cat([cbam_fwd(d2, cbams["cbam3"]), c1], dim=1)
+    d2 = F.relu(F.conv2d(d2, *dconv2, padding=1))
+    d3 = F.relu(F.conv_transpose2d(d2, *dec3_t, stride=2, padding=1,
+                                   output_padding=1))
+    d3 = F.relu(F.conv2d(d3, *dec3_c, padding=1))
+    want = torch.sigmoid(F.conv2d(d3, *w_bv))
+    want = want.permute(0, 2, 3, 1).detach().numpy()
+
+    # transplant
+    def conv_flax(wb):
+        w, b = wb
+        return {"conv": {"kernel": jnp.asarray(w.numpy().transpose(2, 3, 1, 0)),
+                         "bias": jnp.asarray(b.numpy())}}
+
+    def convt_flax(wb):
+        w, b = wb
+        kk = w.numpy().transpose(2, 3, 0, 1)[::-1, ::-1].copy()
+        return {"conv": {"kernel": jnp.asarray(kk),
+                         "bias": jnp.asarray(b.numpy())}}
+
+    params, stats = {}, {}
+    for name, ((w, b), bn) in enc.items():
+        params[f"{name}_conv"] = conv_flax((w, b))
+        params[f"{name}_bn"] = {"bn": {
+            "scale": jnp.asarray(bn["weight"].numpy()),
+            "bias": jnp.asarray(bn["bias"].numpy())}}
+        stats[f"{name}_bn"] = {"bn": {
+            "mean": jnp.asarray(bn["mean"].numpy()),
+            "var": jnp.asarray(bn["var"].numpy())}}
+    params["multihead_attention"] = {
+        "in_proj": {"kernel": jnp.asarray(in_proj_w.numpy().T),
+                    "bias": jnp.asarray(in_proj_b.numpy())},
+        "out_proj": {"kernel": jnp.asarray(out_proj_w.numpy().T),
+                     "bias": jnp.asarray(out_proj_b.numpy())},
+    }
+    for name, c in cbams.items():
+        params[name] = {
+            "channel_att": {"Conv2d_0": {"conv": {
+                "kernel": jnp.asarray(c["m0"].numpy().transpose(2, 3, 1, 0))}},
+                "Conv2d_1": {"conv": {
+                    "kernel": jnp.asarray(c["m1"].numpy().transpose(2, 3, 1, 0))}}},
+            "spatial_att": {"Conv2d_0": {"conv": {
+                "kernel": jnp.asarray(c["sp"].numpy().transpose(2, 3, 1, 0))}}},
+        }
+    params["decoder_block1"] = convt_flax(dec1_t)
+    params["decoder_block2"] = convt_flax(dec2_t)
+    params["decoder_block3"] = convt_flax(dec3_t)
+    params["decoder_conv1"] = conv_flax(dconv1)
+    params["decoder_conv2"] = conv_flax(dconv2)
+    params["decoder_block3_conv"] = conv_flax(dec3_c)
+    params["output_BV"] = conv_flax(w_bv)
+    params["output_OD"] = conv_flax(w_od)
+
+    model = create_model("RetinaLiteNet.TransFuseNet")
+    got = model.apply({"params": params, "batch_stats": stats},
+                      jnp.asarray(x_np), train=False)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-3, atol=2e-4)
