@@ -253,3 +253,77 @@ def test_respath_double_bn_quirk_matches_torch():
     got = mod.apply({"params": params, "batch_stats": stats},
                     jnp.asarray(x_np), False)
     np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-5)
+
+
+def test_multiresblock_matches_torch():
+    """Multiresblock transplant parity — pins the chained 3x3 convs, the
+    concat([a,b,c]) order, the int()-truncated channel split (4/8/13 for
+    W=16*1.67) and the BN -> +shortcut -> BN -> relu tail
+    (unet_parts.py:659-715).  Eval mode."""
+    rng = np.random.RandomState(11)
+    cin, filt, alpha = 8, 16, 1.67
+    W = filt * alpha
+    f3, f5, f7 = int(W * 0.167), int(W * 0.333), int(W * 0.5)
+    out_f = f3 + f5 + f7
+
+    def convb(ci, co, k):
+        w = torch.from_numpy((rng.randn(co, ci, k, k)
+                              / np.sqrt(ci * k * k)).astype(np.float32))
+        b = torch.from_numpy((rng.randn(co) * .05).astype(np.float32))
+        return w, b
+
+    def bnp(c):
+        return dict(
+            weight=torch.from_numpy(rng.rand(c).astype(np.float32) + 0.5),
+            bias=torch.from_numpy((rng.randn(c) * 0.1).astype(np.float32)),
+            mean=torch.from_numpy((rng.randn(c) * 0.2).astype(np.float32)),
+            var=torch.from_numpy(rng.rand(c).astype(np.float32) + 0.5))
+
+    def bn_eval(v, p):
+        return F.batch_norm(v, p["mean"], p["var"], p["weight"], p["bias"],
+                            training=False)
+
+    sc = (convb(cin, out_f, 1), bnp(out_f))       # shortcut, act None
+    c3 = (convb(cin, f3, 3), bnp(f3))             # relu
+    c5 = (convb(f3, f5, 3), bnp(f5))              # relu
+    c7 = (convb(f5, f7, 3), bnp(f7))              # relu
+    bn1, bn2 = bnp(out_f), bnp(out_f)
+
+    x_np = rng.rand(2, 8, 8, cin).astype(np.float32)
+    v = _nchw(x_np)
+    shrtct = bn_eval(F.conv2d(v, *sc[0]), sc[1])
+    a = F.relu(bn_eval(F.conv2d(v, *c3[0], padding=1), c3[1]))
+    bb = F.relu(bn_eval(F.conv2d(a, *c5[0], padding=1), c5[1]))
+    cc = F.relu(bn_eval(F.conv2d(bb, *c7[0], padding=1), c7[1]))
+    y = torch.cat([a, bb, cc], dim=1)
+    y = bn_eval(y, bn1)
+    y = y + shrtct
+    y = F.relu(bn_eval(y, bn2))
+    want = _nhwc(y)
+
+    def conv_flax(wb):
+        w, b = wb
+        return {"conv": {"kernel": jnp.asarray(w.numpy().transpose(2, 3, 1, 0)),
+                         "bias": jnp.asarray(b.numpy())}}
+
+    def bn_flax(p):
+        return ({"bn": {"scale": jnp.asarray(p["weight"].numpy()),
+                        "bias": jnp.asarray(p["bias"].numpy())}},
+                {"bn": {"mean": jnp.asarray(p["mean"].numpy()),
+                        "var": jnp.asarray(p["var"].numpy())}})
+
+    params, stats = {}, {}
+    for i, (wb, bn) in enumerate((sc, c3, c5, c7)):
+        pb, sb = bn_flax(bn)
+        params[f"Conv2dBatchnorm_{i}"] = {"Conv2d_0": conv_flax(wb),
+                                          "BatchNorm2d_0": pb}
+        stats[f"Conv2dBatchnorm_{i}"] = {"BatchNorm2d_0": sb}
+    for i, bn in enumerate((bn1, bn2)):
+        pb, sb = bn_flax(bn)
+        params[f"BatchNorm2d_{i}"] = pb
+        stats[f"BatchNorm2d_{i}"] = sb
+
+    mod = B.Multiresblock(cin, filt, alpha)
+    got = mod.apply({"params": params, "batch_stats": stats},
+                    jnp.asarray(x_np), False)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-5)
