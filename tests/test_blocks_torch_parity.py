@@ -327,3 +327,89 @@ def test_multiresblock_matches_torch():
     got = mod.apply({"params": params, "batch_stats": stats},
                     jnp.asarray(x_np), False)
     np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-5)
+
+
+def test_babasicblock_matches_torch():
+    """BABasicBlock transplant parity — pins the BA fusion order
+    (cur-fusion from post-conv2 GAP, pre-fusion from post-conv1 GAP,
+    summed -> relu -> linear -> sigmoid gate), the gate application point,
+    and the 1x1-conv residual (unet_parts.py:227-275).  Eval mode
+    (dropout identity)."""
+    rng = np.random.RandomState(12)
+    cin, cout, red = 8, 16, 4  # reduction=4 so cout//red = 4
+
+    def convw(ci, co, k):
+        return torch.from_numpy((rng.randn(co, ci, k, k)
+                                 / np.sqrt(ci * k * k)).astype(np.float32))
+
+    def bnp(c):
+        return dict(
+            weight=torch.from_numpy(rng.rand(c).astype(np.float32) + 0.5),
+            bias=torch.from_numpy((rng.randn(c) * 0.1).astype(np.float32)),
+            mean=torch.from_numpy((rng.randn(c) * 0.2).astype(np.float32)),
+            var=torch.from_numpy(rng.rand(c).astype(np.float32) + 0.5))
+
+    def bn_eval(v, p):
+        return F.batch_norm(v, p["mean"], p["var"], p["weight"], p["bias"],
+                            training=False)
+
+    w1, bn1 = convw(cin, cout, 3), bnp(cout)
+    w2, bn2 = convw(cout, cout, 3), bnp(cout)
+    w3 = convw(cin, cout, 1)
+    lin_cur = torch.from_numpy((rng.randn(red, cout) / np.sqrt(cout)
+                                ).astype(np.float32))
+    bn_cur = bnp(red)
+    lin_pre = torch.from_numpy((rng.randn(red, cout) / np.sqrt(cout)
+                                ).astype(np.float32))
+    bn_pre = bnp(red)
+    lin_gen = torch.from_numpy((rng.randn(cout, red) / np.sqrt(red)
+                                ).astype(np.float32))
+
+    x_np = rng.rand(2, 8, 8, cin).astype(np.float32)
+    v = _nchw(x_np)
+    out = F.relu(bn_eval(F.conv2d(v, w1, padding=1), bn1))
+    f1 = F.adaptive_avg_pool2d(out, 1)
+    out = bn_eval(F.conv2d(out, w2, padding=1), bn2)
+    f2 = F.adaptive_avg_pool2d(out, 1)
+    # BN1d on (B, red)
+    def bn1d(v, p):
+        return (v - p["mean"]) / torch.sqrt(p["var"] + 1e-5) * p["weight"] + p["bias"]
+    fusion = bn1d(f2.flatten(1) @ lin_cur.T, bn_cur) + \
+             bn1d(f1.flatten(1) @ lin_pre.T, bn_pre)
+    att = torch.sigmoid(F.relu(fusion) @ lin_gen.T).unsqueeze(-1).unsqueeze(-1)
+    out = out * att
+    residual = F.conv2d(v, w3)  # dropout identity in eval
+    want = _nhwc(F.relu(out + residual))
+
+    def conv_flax(w):
+        return {"conv": {"kernel": jnp.asarray(w.numpy().transpose(2, 3, 1, 0))}}
+
+    def bn_flax(p):
+        return ({"bn": {"scale": jnp.asarray(p["weight"].numpy()),
+                        "bias": jnp.asarray(p["bias"].numpy())}},
+                {"bn": {"mean": jnp.asarray(p["mean"].numpy()),
+                        "var": jnp.asarray(p["var"].numpy())}})
+
+    p1, s1 = bn_flax(bn1)
+    p2, s2 = bn_flax(bn2)
+    pc, sc_ = bn_flax(bn_cur)
+    pp, sp = bn_flax(bn_pre)
+    params = {
+        "Conv2d_0": conv_flax(w1), "BatchNorm2d_0": p1,
+        "Conv2d_1": conv_flax(w2), "BatchNorm2d_1": p2,
+        "Conv2d_2": conv_flax(w3),
+        "BAModule_0": {
+            "Linear_0": {"linear": {"kernel": jnp.asarray(lin_cur.numpy().T)}},
+            "BatchNorm1d_0": pc,
+            "Linear_1": {"linear": {"kernel": jnp.asarray(lin_pre.numpy().T)}},
+            "BatchNorm1d_1": pp,
+            "Linear_2": {"linear": {"kernel": jnp.asarray(lin_gen.numpy().T)}},
+        },
+    }
+    stats = {"BatchNorm2d_0": s1, "BatchNorm2d_1": s2,
+             "BAModule_0": {"BatchNorm1d_0": sc_, "BatchNorm1d_1": sp}}
+
+    mod = B.BABasicBlock(cin, cout, reduction=red)
+    got = mod.apply({"params": params, "batch_stats": stats},
+                    jnp.asarray(x_np), False)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-5)
