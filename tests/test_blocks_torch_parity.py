@@ -413,3 +413,89 @@ def test_babasicblock_matches_torch():
     got = mod.apply({"params": params, "batch_stats": stats},
                     jnp.asarray(x_np), False)
     np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-5)
+
+
+def test_frblock_matches_torch():
+    """FRUNet grid-node parity — pins the feature_fuse 3-conv summation
+    (1x1 + 3x3 + dilated-3x3 d=2), LeakyReLU(0.1) slopes, the FRConv
+    out_c->out_c quirk, and the up/down branch semantics
+    (unet_parts.py:490-591).  Eval mode (Dropout2d identity)."""
+    rng = np.random.RandomState(13)
+    cin, cout = 4, 8
+
+    def convw(ci, co, k):
+        return torch.from_numpy((rng.randn(co, ci, k, k)
+                                 / np.sqrt(ci * k * k)).astype(np.float32))
+
+    def bnp(c):
+        return dict(
+            weight=torch.from_numpy(rng.rand(c).astype(np.float32) + 0.5),
+            bias=torch.from_numpy((rng.randn(c) * 0.1).astype(np.float32)),
+            mean=torch.from_numpy((rng.randn(c) * 0.2).astype(np.float32)),
+            var=torch.from_numpy(rng.rand(c).astype(np.float32) + 0.5))
+
+    def bn_eval(v, p):
+        return F.batch_norm(v, p["mean"], p["var"], p["weight"], p["bias"],
+                            training=False)
+
+    ff = {"w11": convw(cin, cout, 1), "w33": convw(cin, cout, 3),
+          "wdi": convw(cin, cout, 3), "bn": bnp(cout)}
+    fc = [(convw(cout, cout, 3), bnp(cout)) for _ in range(2)]
+    up_w = torch.from_numpy((rng.randn(cout, cout // 2, 2, 2)
+                             / np.sqrt(cout * 2)).astype(np.float32))
+    up_bn = bnp(cout // 2)
+    down_w = convw(cout, cout * 2, 2)
+    down_bn = bnp(cout * 2)
+
+    x_np = rng.rand(2, 8, 8, cin).astype(np.float32)
+    v = _nchw(x_np)
+    # feature_fuse (in_c != out_c)
+    fused = bn_eval(F.conv2d(v, ff["w11"]) + F.conv2d(v, ff["w33"], padding=1)
+                    + F.conv2d(v, ff["wdi"], padding=2, dilation=2), ff["bn"])
+    h = fused
+    for w, bn in fc:
+        h = F.leaky_relu(bn_eval(F.conv2d(h, w, padding=1), bn), 0.1)
+    up = F.leaky_relu(bn_eval(F.conv_transpose2d(h, up_w, stride=2), up_bn), 0.1)
+    down = F.leaky_relu(bn_eval(F.conv2d(h, down_w, stride=2), down_bn), 0.1)
+    want = (_nhwc(h), _nhwc(up), _nhwc(down))
+
+    def conv_flax(w):
+        return {"conv": {"kernel": jnp.asarray(w.numpy().transpose(2, 3, 1, 0))}}
+
+    def bn_flax(p):
+        return ({"bn": {"scale": jnp.asarray(p["weight"].numpy()),
+                        "bias": jnp.asarray(p["bias"].numpy())}},
+                {"bn": {"mean": jnp.asarray(p["mean"].numpy()),
+                        "var": jnp.asarray(p["var"].numpy())}})
+
+    ffp, ffs = bn_flax(ff["bn"])
+    c0p, c0s = bn_flax(fc[0][1])
+    c1p, c1s = bn_flax(fc[1][1])
+    upp, ups_ = bn_flax(up_bn)
+    dnp_, dns = bn_flax(down_bn)
+    up_k = up_w.numpy().transpose(2, 3, 0, 1)[::-1, ::-1].copy()
+    params = {
+        "FeatureFuse_0": {"Conv2d_0": conv_flax(ff["w11"]),
+                          "Conv2d_1": conv_flax(ff["w33"]),
+                          "Conv2d_2": conv_flax(ff["wdi"]),
+                          "BatchNorm2d_0": ffp},
+        "FRConv_0": {"Conv2d_0": conv_flax(fc[0][0]),
+                     "BatchNorm2d_0": c0p,
+                     "Conv2d_1": conv_flax(fc[1][0]),
+                     "BatchNorm2d_1": c1p},
+        "FRUp_0": {"ConvTranspose2d_0": {"conv": {"kernel": jnp.asarray(up_k)}},
+                   "BatchNorm2d_0": upp},
+        "FRDown_0": {"Conv2d_0": conv_flax(down_w), "BatchNorm2d_0": dnp_},
+    }
+    stats = {
+        "FeatureFuse_0": {"BatchNorm2d_0": ffs},
+        "FRConv_0": {"BatchNorm2d_0": c0s, "BatchNorm2d_1": c1s},
+        "FRUp_0": {"BatchNorm2d_0": ups_},
+        "FRDown_0": {"BatchNorm2d_0": dns},
+    }
+    mod = B.FRBlock(cin, cout, dp=0.0, is_up=True, is_down=True, fuse=True)
+    got_h, got_up, got_down = mod.apply(
+        {"params": params, "batch_stats": stats}, jnp.asarray(x_np), False)
+    np.testing.assert_allclose(np.asarray(got_h), want[0], rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_up), want[1], rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_down), want[2], rtol=1e-4, atol=1e-5)
