@@ -753,8 +753,11 @@ class MultiHeadSelfAttention(nn.Module):
                                   kernel_init=tinit.xavier_uniform_init,
                                   bias_init=tinit.zeros_init,
                                   dtype=self.dtype, name="in_proj")
+        # torch MultiheadAttention._reset_parameters xavier-inits only the
+        # in_proj; out_proj.weight keeps nn.Linear's kaiming_uniform default
+        # and out_proj.bias is explicitly zeroed.
         out_proj = nn.Dense(features=e, use_bias=True,
-                            kernel_init=tinit.xavier_uniform_init,
+                            kernel_init=tinit.linear_kernel_init,
                             bias_init=tinit.zeros_init,
                             dtype=self.dtype, name="out_proj")
         b, l, _ = x.shape

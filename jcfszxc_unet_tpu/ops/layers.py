@@ -124,17 +124,66 @@ class ConvTranspose2d(nn.Module):
         return y[:, ph : ph + h_out, pw : pw + w_out, :]
 
 
+class _TorchBatchNorm(nn.Module):
+    """Torch-exact batch norm over the last axis of an (..., C) tensor.
+
+    Differences from ``flax.linen.BatchNorm`` (which this replaces):
+      * the running-var update uses torch's *unbiased* batch variance
+        (factor n/(n-1), torch BatchNorm2d docs / _NormBase.forward),
+        while normalization itself uses the biased variance — both exactly
+        as torch does in .train() mode;
+      * running stats are kept in float32 regardless of compute dtype.
+
+    The variable tree (params: scale/bias; batch_stats: mean/var) is
+    identical to ``nn.BatchNorm`` so checkpoints and transplant tests are
+    unaffected.
+    """
+
+    num_features: int
+    eps: float
+    momentum: float  # torch convention: running <- (1-m)*running + m*batch
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, use_running_average: bool):
+        c = self.num_features
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((c,), jnp.float32)
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((c,), jnp.float32)
+        )
+        reduce_axes = tuple(range(x.ndim - 1))
+        if use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            xf = x.astype(jnp.float32)
+            mean = jnp.mean(xf, axis=reduce_axes)
+            mean2 = jnp.mean(jnp.square(xf), axis=reduce_axes)
+            var = jnp.maximum(mean2 - jnp.square(mean), 0.0)
+            if not self.is_initializing():
+                n = x.size // c
+                bessel = n / max(n - 1, 1)
+                m = self.momentum
+                ra_mean.value = (1.0 - m) * ra_mean.value + m * mean
+                ra_var.value = (1.0 - m) * ra_var.value + m * (var * bessel)
+        out_dtype = self.dtype or x.dtype
+        shape = (1,) * (x.ndim - 1) + (c,)
+        inv = jax.lax.rsqrt(var + self.eps) * scale
+        y = (x.astype(jnp.float32) - mean.reshape(shape)) * inv.reshape(shape)
+        y = y + bias.reshape(shape)
+        return y.astype(out_dtype)
+
+
 class BatchNorm2d(nn.Module):
     """torch.nn.BatchNorm2d equivalent (NHWC channel axis -1).
 
-    torch ``momentum`` m updates running <- (1-m)*running + m*batch, i.e.
-    Flax momentum = 1 - torch momentum.  The ``train`` flag selects batch
-    statistics (torch .train()) vs running statistics (torch .eval()).
-
-    Known benign difference: torch feeds the *unbiased* batch variance
-    (factor n/(n-1)) into the running-var update while Flax uses the
-    biased one; over patch batches n = B*H*W >= 5*10^5 the factor is
-    1.000002 — far below training noise.
+    torch ``momentum`` m updates running <- (1-m)*running + m*batch.  The
+    ``train`` flag selects batch statistics (torch .train()) vs running
+    statistics (torch .eval()).  Running var uses torch's unbiased batch
+    variance (see :class:`_TorchBatchNorm`).
     """
 
     num_features: int
@@ -144,15 +193,14 @@ class BatchNorm2d(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = True):
-        bn = nn.BatchNorm(
-            use_running_average=not train,
-            momentum=1.0 - self.momentum,
-            epsilon=self.eps,
+        bn = _TorchBatchNorm(
+            num_features=self.num_features,
+            eps=self.eps,
+            momentum=self.momentum,
             dtype=self.dtype,
-            param_dtype=jnp.float32,
             name="bn",
         )
-        return bn(x)
+        return bn(x, use_running_average=not train)
 
 
 class BatchNorm1d(nn.Module):
@@ -165,15 +213,14 @@ class BatchNorm1d(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = True):
-        bn = nn.BatchNorm(
-            use_running_average=not train,
-            momentum=1.0 - self.momentum,
-            epsilon=self.eps,
+        bn = _TorchBatchNorm(
+            num_features=self.num_features,
+            eps=self.eps,
+            momentum=self.momentum,
             dtype=self.dtype,
-            param_dtype=jnp.float32,
             name="bn",
         )
-        return bn(x)
+        return bn(x, use_running_average=not train)
 
 
 class Linear(nn.Module):
@@ -311,15 +358,13 @@ def upsample_bilinear(x, scale: int = 2, align_corners: bool = True):
 def pad_or_crop_to(x, target_h: int, target_w: int):
     """torch F.pad with possibly-negative pads (reference unet_parts.py:65-67,
     444-447): center-pad when the target is larger, center-crop when smaller.
-    Torch puts the extra element of an odd difference on the trailing side of
-    the leading half (pad = [d//2, d - d//2] with leading = d//2)."""
+    The reference computes pads as [d//2, d - d//2]; Python floor division
+    already matches torch for negative d (e.g. (-3)//2 = -2), so no sign
+    special-casing — the leading side takes the *larger* magnitude on an odd
+    negative difference."""
     n, h, w, c = x.shape
     dh, dw = target_h - h, target_w - w
-
-    def lead(d):
-        return d // 2 if d >= 0 else -((-d) // 2)
-
-    lh, lw = dh // 2 if dh >= 0 else -((-dh) // 2), dw // 2 if dw >= 0 else -((-dw) // 2)
+    lh, lw = dh // 2, dw // 2
     # Positive part: pad; negative: crop.
     pad_h = (max(lh, 0), max(dh - lh, 0))
     pad_w = (max(lw, 0), max(dw - lw, 0))

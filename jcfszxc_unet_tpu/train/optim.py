@@ -98,17 +98,22 @@ class ReduceLROnPlateau:
     cooldown_counter: int = 0
 
     def step(self, metric: float, lr: float) -> float:
-        """Feed one epoch's metric; returns the (possibly reduced) LR."""
+        """Feed one epoch's metric; returns the (possibly reduced) LR.
+
+        Mirrors torch ReduceLROnPlateau.step ordering exactly: update
+        best/num_bad_epochs first, then — unconditionally, improving or
+        not — consume one cooldown epoch (which also zeroes bad epochs),
+        then test patience.
+        """
         metric = float(metric)
         if self._is_better(metric):
             self.best = metric
             self.num_bad_epochs = 0
         else:
-            if self.cooldown_counter > 0:
-                self.cooldown_counter -= 1
-                self.num_bad_epochs = 0
-            else:
-                self.num_bad_epochs += 1
+            self.num_bad_epochs += 1
+        if self.cooldown_counter > 0:
+            self.cooldown_counter -= 1
+            self.num_bad_epochs = 0
         if self.num_bad_epochs > self.patience:
             lr = max(lr * self.factor, self.min_lr)
             self.cooldown_counter = self.cooldown

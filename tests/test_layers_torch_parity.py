@@ -143,12 +143,31 @@ class TestPadOrCrop:
         np.testing.assert_allclose(np.asarray(got), _nhwc(want), rtol=1e-6)
 
     def test_negative_pad_crops_like_torch(self):
-        # MCUNet Up_v1 path: F.pad with negative values crops
+        # MCUNet Up_v1 path: F.pad with negative values crops.  The oracle
+        # derives pads exactly as the reference does (unet_parts.py:65-67):
+        # [dW//2, dW - dW//2, dH//2, dH - dH//2] with Python floor division,
+        # so an odd negative diff crops MORE from the leading side.
         x = np.random.RandomState(10).randn(1, 8, 8, 2).astype(np.float32)
-        want = F.pad(_nchw(x), [-1, -1, -1, -2])
-        got = L.pad_or_crop_to(jnp.asarray(x), 8 - 3, 8 - 2)
+        dH, dW = -3, -2
+        want = F.pad(_nchw(x), [dW // 2, dW - dW // 2, dH // 2, dH - dH // 2])
+        got = L.pad_or_crop_to(jnp.asarray(x), 8 + dH, 8 + dW)
         assert got.shape == _nhwc(want).shape
         np.testing.assert_allclose(np.asarray(got), _nhwc(want), rtol=1e-6)
+
+    def test_odd_negative_diffs_sweep_vs_torch(self):
+        # Sweep every (dH, dW) in [-5, 3]^2 against the reference formula —
+        # covers the odd-negative cases reachable via --patch-size 40/24.
+        x = np.random.RandomState(20).randn(1, 12, 12, 2).astype(np.float32)
+        for dH in range(-5, 4):
+            for dW in range(-5, 4):
+                want = F.pad(
+                    _nchw(x), [dW // 2, dW - dW // 2, dH // 2, dH - dH // 2]
+                )
+                got = L.pad_or_crop_to(jnp.asarray(x), 12 + dH, 12 + dW)
+                np.testing.assert_allclose(
+                    np.asarray(got), _nhwc(want), rtol=1e-6,
+                    err_msg=f"dH={dH} dW={dW}",
+                )
 
 
 class TestBatchNorm:
@@ -172,6 +191,43 @@ class TestBatchNorm:
         )
         np.testing.assert_allclose(
             np.asarray(tbn.running_mean), 0.1 * batch_mean, rtol=1e-4, atol=1e-4
+        )
+        # running_var must match torch exactly: 0.9*1 + 0.1*unbiased_var.
+        np.testing.assert_allclose(
+            np.asarray(updated["batch_stats"]["bn"]["var"]),
+            np.asarray(tbn.running_var.detach()), rtol=1e-5, atol=1e-6,
+        )
+
+    def test_running_var_bessel_small_batch(self):
+        # Tiny n makes the n/(n-1) factor large (n=2*2*2=8 -> 8/7): this
+        # fails loudly if the biased variance is fed to the running update.
+        x = np.random.RandomState(40).randn(2, 2, 2, 3).astype(np.float32) * 5
+        tbn = torch.nn.BatchNorm2d(3)
+        tbn.train()
+        want = tbn(_nchw(x))
+        mod = L.BatchNorm2d(3)
+        variables = mod.init(jax.random.PRNGKey(0), jnp.asarray(x), True)
+        got, updated = mod.apply(variables, jnp.asarray(x), True,
+                                 mutable=["batch_stats"])
+        np.testing.assert_allclose(np.asarray(got), _nhwc(want), rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(updated["batch_stats"]["bn"]["var"]),
+            np.asarray(tbn.running_var.detach()), rtol=1e-5, atol=1e-6,
+        )
+        np.testing.assert_allclose(
+            np.asarray(updated["batch_stats"]["bn"]["mean"]),
+            np.asarray(tbn.running_mean.detach()), rtol=1e-5, atol=1e-6,
+        )
+        # Eval-mode outputs now agree with the torch-trained module too.
+        tbn.eval()
+        want_eval = tbn(_nchw(x))
+        got_eval = mod.apply(
+            {"params": variables["params"],
+             "batch_stats": updated["batch_stats"]},
+            jnp.asarray(x), False,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got_eval), _nhwc(want_eval), rtol=1e-4, atol=1e-5
         )
 
     def test_eval_mode_uses_running_stats(self):

@@ -79,6 +79,35 @@ class TestPlateauScheduler:
             torch_lr = opt.param_groups[0]["lr"]
             assert abs(lr - torch_lr) < 1e-9, (i, lr, torch_lr)
 
+    def test_improvement_during_cooldown_matches_torch(self):
+        # torch consumes a cooldown epoch even when the metric improves; a
+        # scheduler that only decrements on bad epochs stays in cooldown
+        # forever here and delays the second reduction.
+        metrics = [0.5] * 8          # trigger first reduction (patience=5)
+        metrics += [0.6, 0.7]        # improvements *inside* the cooldown
+        metrics += [0.7] * 8         # plateau again -> second reduction
+        opt, tsched = self._torch_sched(patience=5, cooldown=2)
+        ours = ReduceLROnPlateau(patience=5, cooldown=2)
+        lr = 1.0
+        for i, m in enumerate(metrics):
+            tsched.step(m)
+            lr = ours.step(m, lr)
+            torch_lr = opt.param_groups[0]["lr"]
+            assert abs(lr - torch_lr) < 1e-9, (i, lr, torch_lr)
+
+    def test_fuzz_traces_match_torch(self):
+        rng = np.random.RandomState(3)
+        for trial in range(10):
+            metrics = rng.uniform(0.0, 1.0, size=40)
+            opt, tsched = self._torch_sched(patience=2, cooldown=1)
+            ours = ReduceLROnPlateau(patience=2, cooldown=1)
+            lr = 1.0
+            for i, m in enumerate(metrics):
+                tsched.step(float(m))
+                lr = ours.step(float(m), lr)
+                torch_lr = opt.param_groups[0]["lr"]
+                assert abs(lr - torch_lr) < 1e-9, (trial, i, lr, torch_lr)
+
     def test_reduces_after_patience(self):
         ours = ReduceLROnPlateau(patience=2, cooldown=0)
         lr = 1.0
