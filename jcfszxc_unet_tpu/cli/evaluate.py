@@ -152,7 +152,10 @@ def main(argv=None):
     logging.info(f"Using devices: {jax.devices()}")
     logging.info(f"Loading model from {args.model}")
     compute_dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
-    model, variables, _ = ckpt.load_model(args.model, dtype=compute_dtype)
+    # Accepts framework checkpoints AND reference whole-module .pth files
+    # (evaluate.py:421's torch.load contract).
+    model, variables, _ = ckpt.load_model_any(
+        args.model, dtype=compute_dtype, patch_size=args.patch_size)
     from jcfszxc_unet_tpu.parallel.mesh import make_mesh
 
     n_dev = args.devices or len(jax.devices())

@@ -324,7 +324,9 @@ def main(argv=None):
     if args.resume and not args.load:
         args.load = args.resume  # --resume implies loading params from it
     if args.load:
-        model, init_variables, cfg = ckpt.load_model(args.load, dtype=compute_dtype)
+        # framework checkpoint OR reference whole-module .pth (train.py:500-503)
+        model, init_variables, cfg = ckpt.load_model_any(
+            args.load, dtype=compute_dtype, patch_size=args.patch_size)
         model_name, model_kwargs = cfg["model_name"], cfg["model_kwargs"]
         logging.info(f"Model loaded from {args.load}")
     else:

@@ -78,6 +78,39 @@ def load_model(path: str, dtype=None) -> Tuple[Any, Dict[str, Any], Dict[str, An
     return model, variables, config
 
 
+def load_model_any(path: str, dtype=None, patch_size: int = 64):
+    """Like :func:`load_model`, but also accepts a reference PyTorch ``.pth``
+    (whole pickled module, train.py:374) — the model class is detected from
+    the pickle and its weights imported via compat/torch_mapping.py.  This
+    makes ``evaluate.py -m best_model.pth`` and ``train.py --load`` drop-in
+    against reference-trained checkpoints."""
+    try:
+        return load_model(path, dtype=dtype)
+    except Exception:
+        pass  # not a framework msgpack checkpoint — try the torch route
+    from jcfszxc_unet_tpu.compat.torch_import import (
+        detect_pth_model_name,
+        load_pth_state_dict,
+        variables_from_state_dict,
+    )
+
+    model_name = detect_pth_model_name(path)
+    if model_name is None:
+        raise ValueError(
+            f"{path!r} is neither a framework checkpoint nor a whole-module "
+            f"torch .pth with a recognizable model class")
+    kwargs: Dict[str, Any] = {}
+    if model_name.startswith("BCDUNet."):
+        kwargs["N"] = patch_size
+    if dtype is not None:
+        kwargs["dtype"] = dtype
+    sd = load_pth_state_dict(path)
+    model, variables = variables_from_state_dict(
+        model_name, sd, kwargs, input_hw=patch_size)
+    config = {"model_name": model_name, "model_kwargs": kwargs}
+    return model, variables, config
+
+
 def load_extra(path: str) -> Optional[Dict[str, Any]]:
     """Fetch the optional resume payload (optimizer state etc.)."""
     with open(path, "rb") as f:
