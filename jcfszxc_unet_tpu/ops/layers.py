@@ -156,24 +156,33 @@ class _TorchBatchNorm(nn.Module):
             "batch_stats", "var", lambda: jnp.ones((c,), jnp.float32)
         )
         reduce_axes = tuple(range(x.ndim - 1))
+        # Statistics in at least f32 (bf16 inputs are promoted; f64 stays
+        # f64 so double-precision runs are not silently degraded).
+        stat_dtype = jnp.promote_types(x.dtype, jnp.float32)
+        shape = (1,) * (x.ndim - 1) + (c,)
         if use_running_average:
-            mean, var = ra_mean.value, ra_var.value
+            mean = ra_mean.value.astype(stat_dtype)
+            var = ra_var.value.astype(stat_dtype)
         else:
-            xf = x.astype(jnp.float32)
+            xf = x.astype(stat_dtype)
             mean = jnp.mean(xf, axis=reduce_axes)
-            mean2 = jnp.mean(jnp.square(xf), axis=reduce_axes)
-            var = jnp.maximum(mean2 - jnp.square(mean), 0.0)
+            # Two-pass variance (not E[x^2]-E[x]^2, which cancels
+            # catastrophically when |mean| >> std and visibly degrades
+            # gradients vs torch).
+            var = jnp.mean(jnp.square(xf - mean.reshape(shape)),
+                           axis=reduce_axes)
             if not self.is_initializing():
                 n = x.size // c
                 bessel = n / max(n - 1, 1)
                 m = self.momentum
-                ra_mean.value = (1.0 - m) * ra_mean.value + m * mean
-                ra_var.value = (1.0 - m) * ra_var.value + m * (var * bessel)
+                ra_mean.value = ((1.0 - m) * ra_mean.value
+                                 + m * mean.astype(jnp.float32))
+                ra_var.value = ((1.0 - m) * ra_var.value
+                                + m * (var * bessel).astype(jnp.float32))
         out_dtype = self.dtype or x.dtype
-        shape = (1,) * (x.ndim - 1) + (c,)
-        inv = jax.lax.rsqrt(var + self.eps) * scale
-        y = (x.astype(jnp.float32) - mean.reshape(shape)) * inv.reshape(shape)
-        y = y + bias.reshape(shape)
+        inv = jax.lax.rsqrt(var + self.eps) * scale.astype(stat_dtype)
+        y = (x.astype(stat_dtype) - mean.reshape(shape)) * inv.reshape(shape)
+        y = y + bias.reshape(shape).astype(stat_dtype)
         return y.astype(out_dtype)
 
 

@@ -44,30 +44,27 @@ def _shard_batch(x, mesh):
     return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
 
 
-def make_epoch_fn(
+def make_batch_step_fn(
     model,
     tx: optax.GradientTransformation,
     *,
     n_classes: int,
-    batch_size: int,
-    patch_size: int,
-    steps: int,
     compute_dtype=jnp.float32,
     mesh=None,
     remat: bool = False,
 ) -> Callable:
-    """Build the jitted epoch function: (state, images, labels, sample_map,
-    key) -> (state, {"epoch_loss": sum-of-kept-losses, "skipped": count}).
+    """Build the core per-batch update: (state, imgs, labs, k_drop) ->
+    (new_state, loss, ok).
 
-    epoch_loss follows reference semantics: skipped (NaN) steps contribute
-    nothing but the divisor stays ``steps`` (train.py:303, 392).
+    This is the exact math of the reference hot loop (train.py:255-301):
+    train-mode forward -> loss = 1/2 BCE(logits) + 1/2 dice(sigmoid) ->
+    clip_by_global_norm(1.0) -> RMSprop update (clip+RMSprop live inside
+    ``tx``, train/optim.py), with the NaN step-skip guard expressed
+    branchlessly.  Exposed separately from the epoch scan so tests can
+    drive it on explicit batches (torch trajectory parity).
     """
 
-    def train_step(state: TrainState, key, images, labels, sample_map):
-        k_sample, k_drop = jax.random.split(key)
-        imgs, labs = sample_batch(
-            k_sample, images, labels, sample_map, batch_size, patch_size
-        )
+    def train_step(state: TrainState, imgs, labs, k_drop):
         imgs = _shard_batch(imgs.astype(compute_dtype), mesh)
         labs = _shard_batch(labs, mesh)
 
@@ -107,6 +104,39 @@ def make_epoch_fn(
             step=state.step + 1,
         )
         return new_state, jnp.where(ok, loss, 0.0), ok
+
+    return train_step
+
+
+def make_epoch_fn(
+    model,
+    tx: optax.GradientTransformation,
+    *,
+    n_classes: int,
+    batch_size: int,
+    patch_size: int,
+    steps: int,
+    compute_dtype=jnp.float32,
+    mesh=None,
+    remat: bool = False,
+) -> Callable:
+    """Build the jitted epoch function: (state, images, labels, sample_map,
+    key) -> (state, {"epoch_loss": sum-of-kept-losses, "skipped": count}).
+
+    epoch_loss follows reference semantics: skipped (NaN) steps contribute
+    nothing but the divisor stays ``steps`` (train.py:303, 392).
+    """
+    batch_step = make_batch_step_fn(
+        model, tx, n_classes=n_classes, compute_dtype=compute_dtype,
+        mesh=mesh, remat=remat,
+    )
+
+    def train_step(state: TrainState, key, images, labels, sample_map):
+        k_sample, k_drop = jax.random.split(key)
+        imgs, labs = sample_batch(
+            k_sample, images, labels, sample_map, batch_size, patch_size
+        )
+        return batch_step(state, imgs, labs, k_drop)
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def epoch_fn(state: TrainState, images, labels, sample_map, key):
