@@ -23,7 +23,7 @@ from jcfszxc_unet_tpu.data.loading import (
     visualize_samples,
 )
 from jcfszxc_unet_tpu.eval.metrics import roc_auc
-from jcfszxc_unet_tpu.eval.tiling import tiled_predict
+from jcfszxc_unet_tpu.eval.tiling import sliding_window_predict, tiled_predict
 from jcfszxc_unet_tpu.train import checkpoint as ckpt
 from jcfszxc_unet_tpu.train.losses import dice_coeff
 from jcfszxc_unet_tpu.utils.seed import set_seed
@@ -43,12 +43,22 @@ def eval_model(
     compute_auc: bool = True,
     mesh=None,
     error_panels: bool = False,
+    sliding_window: bool = False,
+    overlap: float = 0.5,
+    num_images=None,
+    image_indices=None,
 ):
     """Tiled evaluation; returns (mean_dice, per_image_dice, mean_auc).
 
     Protocol per reference eval_model (evaluate.py:164-346): grid centers at
     stride half_patch, sigmoid on raw outputs, count-averaged stitch, FOV
     mask multiply, binarize > 0.5, per-image dice, mean printed.
+
+    ``sliding_window=True`` switches to the reference's (defined-but-unused)
+    ``predict_full_image`` protocol (evaluate.py:28-96): top-left-anchored
+    windows at stride patch*(1-overlap), optional image subset via
+    ``num_images``/``image_indices`` — the flags the reference parses but
+    never wires (evaluate.py:349-404).
     """
     set_seed(seed)
     dataset = load_preprocessed_data(input_data)
@@ -56,17 +66,40 @@ def eval_model(
     if visualize:
         visualize_samples(dataset, num_samples=3)
 
-    images = jnp.asarray(np.asarray(dataset["images"], np.float32))
+    images_np = np.asarray(dataset["images"], np.float32)
     masks = np.asarray(dataset["masks"], np.float32)
     labels = np.asarray(dataset["labels"], np.float32)
+
+    if sliding_window:
+        if image_indices:
+            sel = list(image_indices)
+        elif num_images:
+            sel = list(range(min(int(num_images), images_np.shape[0])))
+        else:
+            sel = list(range(images_np.shape[0]))
+        images_np = images_np[sel]
+        masks = masks[sel]
+        labels = labels[sel]
+        dataset = dict(dataset)
+        dataset["images"] = images_np
+
+    images = jnp.asarray(images_np)
     n_test = images.shape[0]
 
     def forward(batch):
         out = model.apply(variables, batch.astype(compute_dtype), train=False)
         return jax.nn.sigmoid(out.astype(jnp.float32))
 
-    pred_maps = tiled_predict(forward, images, patch_size,
-                              inference_batch_size, mesh=mesh)
+    if sliding_window:
+        pred_maps = jnp.stack([
+            sliding_window_predict(forward, images[i], patch_size,
+                                   overlap=overlap,
+                                   batch_size=inference_batch_size)
+            for i in range(n_test)
+        ])
+    else:
+        pred_maps = tiled_predict(forward, images, patch_size,
+                                  inference_batch_size, mesh=mesh)
     pred_maps = pred_maps * jnp.asarray(masks)  # FOV mask (evaluate.py:309)
 
     aucs = []
@@ -123,6 +156,10 @@ def get_args(argv=None):
                         help="Batch size for prediction")
     parser.add_argument("--patch-size", "-p", type=int, default=512,
                         help="Size of patches for prediction")
+    parser.add_argument("--sliding-window", action="store_true",
+                        help="Use the sliding-window predictor "
+                             "(predict_full_image protocol) driven by "
+                             "--overlap/--num-images/--image-indices")
     parser.add_argument("--overlap", type=float, default=0.5,
                         help="Overlap between patches (0-1; sliding-window "
                              "predictor only)")
@@ -170,6 +207,12 @@ def main(argv=None):
         compute_dtype=compute_dtype,
         mesh=mesh,
         error_panels=args.error_panels,
+        sliding_window=args.sliding_window,
+        overlap=args.overlap,
+        num_images=args.num_images if args.sliding_window else None,
+        image_indices=(
+            [int(s) for s in args.image_indices.split(",")]
+            if (args.sliding_window and args.image_indices) else None),
     )
 
 

@@ -203,3 +203,33 @@ class TestExport:
         want = jax.nn.sigmoid(model.apply(variables, xin, train=False))
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=1e-5, atol=1e-6)
+
+
+class TestSlidingWindowEval:
+    def test_flags_drive_sliding_window_subset(self, drive_h5, tmp_path,
+                                               monkeypatch):
+        """--sliding-window + --overlap/--image-indices select the
+        predict_full_image protocol (reference evaluate.py:28-96) on a
+        subset of images — the flags the reference parses but never wires
+        (evaluate.py:349-404)."""
+        import jax
+
+        monkeypatch.chdir(tmp_path)
+        model = create_model("RetinaLiteNet.TransFuseNet")
+        v = jax.jit(lambda r, x: model.init(r, x, True))(
+            jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+        mean, per_image, auc = eval_model(
+            model=model,
+            variables={"params": v["params"],
+                       "batch_stats": v.get("batch_stats", {})},
+            input_data=drive_h5["test"]["output_file"],
+            output_dir=str(tmp_path / "preds"),
+            patch_size=32,
+            inference_batch_size=4,
+            visualize=False,
+            sliding_window=True,
+            overlap=0.75,
+            image_indices=[1],
+        )
+        assert len(per_image) == 1  # subset honored
+        assert 0.0 <= mean <= 1.0 and (auc is None or 0.0 <= auc <= 1.0)

@@ -112,3 +112,32 @@ class TestAUC:
     def test_degenerate_returns_half(self):
         scores = jnp.asarray([0.5, 0.6])
         assert float(roc_auc(scores, jnp.asarray([1.0, 1.0]))) == 0.5
+
+
+class TestStitchScatterOracle:
+    def test_matches_numpy_loop_oracle_random_overlaps(self):
+        """The vectorized scatter-add stitch must equal the reference's
+        python accumulation loop (evaluate.py:291-307) on random patches
+        with irregular overlapping centers."""
+        rng = np.random.RandomState(0)
+        N, H, W, P = 3, 40, 36, 8
+        half = P // 2
+        centers = []
+        for _ in range(25):
+            img = rng.randint(0, N)
+            cy = rng.randint(half, H - half + 1)
+            cx = rng.randint(half, W - half + 1)
+            centers.append((img, cy, cx))
+        centers = np.array(centers, np.int32)
+        probs = rng.rand(len(centers), P, P).astype(np.float32)
+
+        canvas = np.zeros((N, H, W), np.float32)
+        counts = np.zeros((N, H, W), np.float32)
+        for k, (img, cy, cx) in enumerate(centers):
+            canvas[img, cy - half:cy + half, cx - half:cx + half] += probs[k]
+            counts[img, cy - half:cy + half, cx - half:cx + half] += 1.0
+        want = np.where(counts > 0, canvas / np.maximum(counts, 1.0), 0.0)
+
+        got = np.asarray(stitch_patches(jnp.asarray(probs),
+                                        jnp.asarray(centers), N, H, W))
+        np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
