@@ -161,3 +161,79 @@ class TestEmptyValidation:
         metrics, probs = val_fn(state.params, state.batch_stats, vi, vl)
         assert float(metrics["dice"]) == 0.0
         assert probs.shape[0] == 0
+
+
+class TestDPEquivalenceExoticArchetypes:
+    """VERDICT r1 item 7: the exotic dataflows — SegNet's one-hot argmax
+    pool/unpool routing, BCDU_net_D3's time-stacked ConvLSTM decoder, and
+    FRUNet's 17-node grid — must produce single-device numbers when GSPMD
+    shards the batch over a mesh.
+
+    Mesh size 2 (not 8): these are full-width models, and on this image's
+    ONE physical core eight timesharing device threads cannot all reach
+    XLA:CPU's hard-40s collective rendezvous with this much per-shard work
+    (experiments_record.md "collective rendezvous flakiness").  Two shards
+    exercise the identical GSPMD sharding/all-reduce of the exotic ops."""
+
+    def _run(self, name, mesh, patch=32, **kwargs):
+        rng = np.random.RandomState(7)
+        images = jnp.asarray(rng.rand(2, 64, 64, 3), jnp.float32)
+        labels = jnp.asarray((rng.rand(2, 64, 64, 1) > 0.8), jnp.float32)
+        smap = jnp.asarray(
+            build_train_sample_map(np.ones((2, 64, 64), np.float32),
+                                   patch // 2))
+        model = create_model(name, **kwargs)
+        # Reference-default lr: RMSprop's first step is ~±10*lr*sign(g), so
+        # a large lr turns reduction-order noise on near-zero gradients
+        # into ±2e-2 param flips.  At 1e-6 those flips are 2e-5 and real
+        # sharding bugs still show up in the loss/batch-stats asserts.
+        tx = make_optimizer(1e-6)
+        state = create_train_state(
+            model, tx, jax.random.PRNGKey(0),
+            jnp.zeros((1, patch, patch, 3)))
+        if mesh is not None:
+            state = state.replace(
+                params=put_replicated(state.params, mesh),
+                batch_stats=put_replicated(state.batch_stats, mesh),
+                opt_state=put_replicated(state.opt_state, mesh),
+            )
+            images = put_replicated(images, mesh)
+            labels = put_replicated(labels, mesh)
+            smap = put_replicated(smap, mesh)
+        epoch_fn = make_epoch_fn(
+            model, tx, n_classes=model.n_classes, batch_size=2,
+            patch_size=patch, steps=1, mesh=mesh)
+        state, metrics = epoch_fn(state, images, labels, smap,
+                                  jax.random.PRNGKey(9))
+        return state, metrics
+
+    def _check(self, name, **kwargs):
+        s1, m1 = self._run(name, None, **kwargs)
+        s8, m8 = self._run(name, make_mesh(2), **kwargs)
+        assert np.isfinite(float(m1["epoch_loss"]))
+        assert abs(float(m1["epoch_loss"]) - float(m8["epoch_loss"])) < 1e-5
+        # batch_stats are the sharpest forward-correctness signal: every
+        # layer's batch mean/var must match across shardings (no optimizer
+        # in the path).
+        for (pa, a), (pb, b) in zip(
+                jax.tree_util.tree_leaves_with_path(s1.batch_stats),
+                jax.tree_util.tree_leaves_with_path(s8.batch_stats)):
+            assert pa == pb
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-6,
+                                       err_msg=jax.tree_util.keystr(pa))
+        for a, b in zip(jax.tree.leaves(s1.params),
+                        jax.tree.leaves(s8.params)):
+            # updates are ~±1e-5; sign flips on noise-gradient elements
+            # give 2e-5 — covered by atol 5e-5.
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-3, atol=5e-5)
+
+    def test_segnet_index_routing_on_mesh(self):
+        self._check("SegNet.SegNet")
+
+    def test_bcdu_d3_convlstm_on_mesh(self):
+        self._check("BCDUNet.BCDU_net_D3", N=32)
+
+    def test_frunet_grid_on_mesh(self):
+        self._check("FRUNet.FRUNet")
