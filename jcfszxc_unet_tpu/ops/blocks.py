@@ -686,12 +686,57 @@ class ConvBlockPlain(nn.Module):
         return nn.relu(x)
 
 
+class _BareConvParams(nn.Module):
+    """Declares kernel/bias exactly like flax nn.Conv does."""
+
+    in_channels: int
+    out_channels: int
+    kernel_size: int
+
+    @nn.compact
+    def __call__(self):
+        from jcfszxc_unet_tpu.ops import initializers as tinit
+
+        k = self.kernel_size
+        fan_in = self.in_channels * k * k
+        kernel = self.param(
+            "kernel", tinit.conv_kernel_init,
+            (k, k, self.in_channels, self.out_channels), jnp.float32)
+        bias = self.param(
+            "bias", tinit.conv_bias_init_for(fan_in),
+            (self.out_channels,), jnp.float32)
+        return kernel, bias
+
+
+class _ConvParams(nn.Module):
+    """Bare Conv2d parameters with the same tree as ops.layers.Conv2d
+    (child "conv" holding kernel (kh,kw,I,O) + bias) — for blocks that need
+    direct access to the kernel to split it algebraically."""
+
+    in_channels: int
+    out_channels: int
+    kernel_size: int
+
+    @nn.compact
+    def __call__(self):
+        return _BareConvParams(self.in_channels, self.out_channels,
+                               self.kernel_size, name="conv")()
+
+
 class ConvLSTM2D(nn.Module):
     """ConvLSTM unrolled over a (B, T, H, W, C) sequence, returning the last
     hidden state — the reference's ``ConvLSTM2DCell``/``ConvLSTM2D``
     (unet_parts.py:809-869).  One conv on [x, h] -> 4 gates; zero-init
-    state; ``go_backwards`` reverses time.  T is static (2 in BCDUNet), so
-    we unroll rather than scan — XLA fuses the gate elementwise ops."""
+    state; ``go_backwards`` reverses time.
+
+    TPU-native evaluation: conv([x, h], W) is split algebraically into
+    conv(x, Wx) + conv(h, Wh).  The x-half of every time step runs as one
+    *batched* conv over (B*T) — off the sequential chain — and the
+    recurrent chain is only the (smaller) conv(h, Wh); the first step's
+    conv(zeros, Wh) is elided exactly.  Parameters keep the single
+    fused-conv tree (Conv2d_0/conv/{kernel,bias}), so checkpoints and
+    transplants are unchanged.  T is static (2 in BCDUNet), so we unroll
+    rather than scan."""
 
     input_dim: int
     hidden_dim: int
@@ -703,18 +748,33 @@ class ConvLSTM2D(nn.Module):
     @nn.compact
     def __call__(self, x):
         b, t, h, w, _ = x.shape
-        conv = Conv2d(self.input_dim + self.hidden_dim, 4 * self.hidden_dim,
-                      self.kernel_size, padding=self.padding, dtype=self.dtype)
-        hidden = jnp.zeros((b, h, w, self.hidden_dim), x.dtype)
-        cell = jnp.zeros((b, h, w, self.hidden_dim), x.dtype)
+        kernel, bias = _ConvParams(
+            self.input_dim + self.hidden_dim, 4 * self.hidden_dim,
+            self.kernel_size, name="Conv2d_0")()
+        dt = self.dtype or x.dtype
+        kernel = kernel.astype(dt)
+        bias = bias.astype(dt)
+        x = x.astype(dt)
+        w_x = kernel[:, :, : self.input_dim, :]
+        w_h = kernel[:, :, self.input_dim :, :]
+        pad = [(self.padding, self.padding)] * 2
+
+        def conv(v, w):
+            return jax.lax.conv_general_dilated(
+                v, w, (1, 1), pad,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+        cell = jnp.zeros((b, h, w, self.hidden_dim), dt)
+        hidden = None
         steps = range(t - 1, -1, -1) if self.go_backwards else range(t)
-        for step in steps:
-            combined = jnp.concatenate([x[:, step], hidden], axis=-1)
-            gates = conv(combined)
+        for k, step in enumerate(steps):
+            gates = conv(x[:, step], w_x) + bias
+            if k > 0:  # first step's hidden state is exactly zero
+                gates = gates + conv(hidden, w_h)
             i, f, o, g = jnp.split(gates, 4, axis=-1)
             i, f, o = nn.sigmoid(i), nn.sigmoid(f), nn.sigmoid(o)
             g = jnp.tanh(g)
-            cell = f * cell + i * g
+            cell = f * cell + i * g if k > 0 else i * g
             hidden = o * jnp.tanh(cell)
         return hidden
 
