@@ -75,16 +75,32 @@ def main():
 
     per_iter = (t_long - t_short) / (N_LONG - 1)
     ips = BATCH / per_iter
-    print(
-        json.dumps(
-            {
-                "metric": f"UNet 128x128 patch inference on {dev.device_kind}",
-                "value": round(ips, 1),
-                "unit": "images/sec/chip",
-                "vs_baseline": round(ips / REF_BASELINE_IMG_PER_SEC, 2),
-            }
-        )
-    )
+
+    # Hardware-grounded utilization alongside the soft vs-baseline ratio:
+    # FLOPs from XLA's own cost analysis of the compiled forward, against
+    # the chip's 394 TFLOP/s bf16 peak (measured XLA conv ceiling here is
+    # 385 TFLOP/s, experiments_record.md).
+    mfu = None
+    try:
+        fwd = jax.jit(lambda v, x: model.apply(v, x, train=False))
+        ca = fwd.lower(variables, x).compile().cost_analysis()
+        if isinstance(ca, list):
+            ca = ca[0]
+        flops = float(ca.get("flops", 0.0))
+        if flops > 0:
+            mfu = round(flops / per_iter / 394e12 * 100.0, 1)
+    except Exception:
+        pass
+
+    result = {
+        "metric": f"UNet 128x128 patch inference on {dev.device_kind}",
+        "value": round(ips, 1),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(ips / REF_BASELINE_IMG_PER_SEC, 2),
+    }
+    if mfu is not None:
+        result["mfu_pct"] = mfu
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

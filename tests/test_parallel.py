@@ -237,3 +237,36 @@ class TestDPEquivalenceExoticArchetypes:
 
     def test_frunet_grid_on_mesh(self):
         self._check("FRUNet.FRUNet")
+
+
+class TestSpatialPartitioning:
+    """SURVEY §2.5 item 3 (stretch): whole-image inference with the ROW
+    axis sharded across the mesh — GSPMD partitions the convs spatially
+    and inserts the halo exchanges.  Must reproduce single-device numbers
+    (same math, different partitioning)."""
+
+    def test_whole_image_spatial_matches_single_device(self):
+        from jcfszxc_unet_tpu.parallel.spatial import make_spatial_forward
+
+        model = create_model("RetinaLiteNet.TransFuseNet")
+        rng = np.random.RandomState(2)
+        images = jnp.asarray(rng.rand(2, 40, 48, 3), jnp.float32)
+        v = jax.jit(lambda r, x: model.init(r, x, True))(
+            jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 3)))
+        variables = {"params": v["params"],
+                     "batch_stats": v.get("batch_stats", {})}
+
+        mesh = make_mesh(4)
+        fwd_sp = make_spatial_forward(model, variables, mesh, divisor=8)
+        got = np.asarray(fwd_sp(images))
+
+        # single-device oracle with identical padding
+        from jcfszxc_unet_tpu.parallel.spatial import pad_to_multiple
+        x, oh = pad_to_multiple(images, 1, 4 * 8)
+        x, ow = pad_to_multiple(x, 2, 8)
+        want = jax.nn.sigmoid(
+            model.apply(variables, x, train=False).astype(jnp.float32))
+        want = np.asarray(want)[:, :40, :48, 0]
+
+        assert got.shape == (2, 40, 48)
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
