@@ -52,10 +52,12 @@ def main():
             e1, eN = make(1), make(N_LONG)
             key = jax.random.PRNGKey(1)
 
-            # FLOPs of the one-step epoch (includes sampling + optimizer)
+            # FLOPs of the one-step epoch (includes sampling + optimizer).
+            # e1 is already jitted (make_epoch_fn); lowering it directly
+            # shares the executable with the timed calls below.
             flops = None
             try:
-                lowered = jax.jit(e1).lower(state, images, labels, smap, key)
+                lowered = e1.lower(state, images, labels, smap, key)
                 ca = lowered.compile().cost_analysis()
                 if isinstance(ca, list):
                     ca = ca[0]
@@ -63,11 +65,13 @@ def main():
             except Exception:
                 pass
 
+            # epoch_fn donates the state: hand each call a fresh on-device
+            # copy.  The copy MUST be one jitted program — eager per-leaf
+            # ops cost seconds each through this image's async relay.
+            copy_state = jax.jit(lambda s: jax.tree.map(lambda a: a + 0, s))
+
             def run(fn, state=state):
-                # epoch_fn donates the state: hand it a fresh on-device copy
-                s = jax.tree.map(lambda a: a + 0, state)
-                s, m = fn(s, images, labels, smap, key)
-                jax.block_until_ready(m["epoch_loss"])
+                s, m = fn(copy_state(state), images, labels, smap, key)
                 return float(m["epoch_loss"])
 
             run(e1); run(eN)  # compile both
