@@ -141,3 +141,19 @@ class TestStitchScatterOracle:
         got = np.asarray(stitch_patches(jnp.asarray(probs),
                                         jnp.asarray(centers), N, H, W))
         np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+
+    def test_scatter_variant_matches_loop(self):
+        from jcfszxc_unet_tpu.eval.tiling import stitch_patches_scatter
+
+        rng = np.random.RandomState(3)
+        N, H, W, P = 2, 24, 20, 8
+        half = P // 2
+        centers = np.array(
+            [(rng.randint(0, N), rng.randint(half, H - half + 1),
+              rng.randint(half, W - half + 1)) for _ in range(15)], np.int32)
+        probs = rng.rand(len(centers), P, P).astype(np.float32)
+        a = np.asarray(stitch_patches(jnp.asarray(probs),
+                                      jnp.asarray(centers), N, H, W))
+        b = np.asarray(stitch_patches_scatter(jnp.asarray(probs),
+                                              jnp.asarray(centers), N, H, W))
+        np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-6)
