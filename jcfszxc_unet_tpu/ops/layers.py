@@ -305,10 +305,14 @@ def max_pool2d_with_indices(x):
     SegNet.py:89-112).  Because kernel == stride (non-overlapping windows),
     a window-local argmax in {0,1,2,3} carries the same information as
     torch's flat index; the paired :func:`max_unpool2d` consumes it.
-    Even input sizes assumed (SegNet requires H, W divisible by 32).
     Returns (pooled, onehot) with onehot shape (N, H/2, W/2, 4, C).
     """
     n, h, w, c = x.shape
+    if h % 2 or w % 2:
+        raise ValueError(
+            f"max_pool2d_with_indices requires even H and W, got {h}x{w} "
+            f"(SegNet needs inputs divisible by 32 for its five pooling "
+            f"stages — reference SegNet.py:89-138)")
     xw = x.reshape(n, h // 2, 2, w // 2, 2, c)
     xw = xw.transpose(0, 1, 3, 2, 4, 5).reshape(n, h // 2, w // 2, 4, c)
     pooled = jnp.max(xw, axis=3)

@@ -249,3 +249,12 @@ class TestDropout2d:
         assert set(np.unique(planes)).issubset({0.0, 2.0})
         per_plane = planes.max(axis=1)
         assert 0.0 in per_plane and 2.0 in per_plane
+
+
+class TestPoolIndicesValidation:
+    def test_odd_input_raises_clear_error(self):
+        import pytest
+
+        x = jnp.zeros((1, 5, 6, 2))
+        with pytest.raises(ValueError, match="divisible by 32"):
+            L.max_pool2d_with_indices(x)
