@@ -47,6 +47,7 @@ def eval_model(
     overlap: float = 0.5,
     num_images=None,
     image_indices=None,
+    spatial: bool = False,
 ):
     """Tiled evaluation; returns (mean_dice, per_image_dice, mean_auc).
 
@@ -90,7 +91,23 @@ def eval_model(
         out = model.apply(variables, batch.astype(compute_dtype), train=False)
         return jax.nn.sigmoid(out.astype(jnp.float32))
 
-    if sliding_window:
+    if spatial:
+        # Whole-image spatially-partitioned forward (SURVEY §2.5 item 3):
+        # the H axis is sharded over the mesh, GSPMD inserts the halo
+        # exchanges — no patch grid, no stitching.  Requires a
+        # size-polymorphic model forward (everything in the zoo except
+        # BCDUNet, whose ctor pins the input size N).
+        from jcfszxc_unet_tpu.parallel.mesh import make_mesh
+        from jcfszxc_unet_tpu.parallel.spatial import make_spatial_forward
+
+        smesh = mesh if mesh is not None else make_mesh(1)
+        fwd_sp = make_spatial_forward(
+            model, variables, smesh, divisor=32, compute_dtype=compute_dtype)
+        pred_maps = jnp.concatenate([
+            fwd_sp(images[i:i + inference_batch_size])
+            for i in range(0, n_test, inference_batch_size)
+        ])
+    elif sliding_window:
         pred_maps = jnp.stack([
             sliding_window_predict(forward, images[i], patch_size,
                                    overlap=overlap,
@@ -156,6 +173,10 @@ def get_args(argv=None):
                         help="Batch size for prediction")
     parser.add_argument("--patch-size", "-p", type=int, default=512,
                         help="Size of patches for prediction")
+    parser.add_argument("--spatial", action="store_true",
+                        help="Whole-image spatially-partitioned forward over "
+                             "the device mesh (no tiling/stitching; H axis "
+                             "sharded, halo exchanges over ICI)")
     parser.add_argument("--sliding-window", action="store_true",
                         help="Use the sliding-window predictor "
                              "(predict_full_image protocol) driven by "
@@ -213,6 +234,7 @@ def main(argv=None):
         image_indices=(
             [int(s) for s in args.image_indices.split(",")]
             if (args.sliding_window and args.image_indices) else None),
+        spatial=args.spatial,
     )
 
 

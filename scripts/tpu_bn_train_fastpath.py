@@ -1,0 +1,127 @@
+#!/usr/bin/env python
+"""Measure a train-mode BN "apply in compute dtype" fast path.
+
+The round-2 eval BN fast path (fold stats+affine into one per-channel
+multiply-add applied in bf16) bought +46% MultiResUNet / +12% UNet
+inference because an f32 elementwise pass breaks XLA's fusion into the
+producing conv's epilogue.  The TRAIN path still normalizes in f32
+(ops/layers.py _TorchBatchNorm): statistics must be f32, but the
+*application* y = x*inv + beta can be done in bf16 the same way.  This
+script monkeypatches that variant in and measures the full train step
+for the BN-densest models.
+
+Numerics note: torch AMP autocasts BN to f32 (both passes), so this
+variant trades a bf16 rounding of the normalize-apply for fusion; the
+statistics and the folded (inv, beta) stay f32.
+"""
+
+import os
+import time
+
+import numpy as np
+
+BATCH, PATCH = 32, 128
+PEAK_TFLOPS = 394.0
+N_LONG = 6
+MODELS = os.environ.get(
+    "BN_MODELS", "UNet.UNet,MultiResUNet.MultiResUNet").split(",")
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from jcfszxc_unet_tpu.data.sampler import build_train_sample_map
+    from jcfszxc_unet_tpu.models import create_model
+    from jcfszxc_unet_tpu.ops import layers as L
+    from jcfszxc_unet_tpu.train.optim import make_optimizer
+    from jcfszxc_unet_tpu.train.state import create_train_state
+    from jcfszxc_unet_tpu.train.trainer import make_epoch_fn
+
+    orig_call = L._TorchBatchNorm.__call__
+
+    def fast_call(self, x, use_running_average: bool):
+        if use_running_average:
+            return orig_call(self, x, use_running_average)
+        c = self.num_features
+        scale = self.param("scale", jax.nn.initializers.ones, (c,),
+                           jnp.float32)
+        bias = self.param("bias", jax.nn.initializers.zeros, (c,),
+                          jnp.float32)
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((c,), jnp.float32))
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((c,), jnp.float32))
+        reduce_axes = tuple(range(x.ndim - 1))
+        stat_dtype = jnp.promote_types(x.dtype, jnp.float32)
+        shape = (1,) * (x.ndim - 1) + (c,)
+        xf = x.astype(stat_dtype)
+        mean = jnp.mean(xf, axis=reduce_axes)
+        var = jnp.mean(jnp.square(xf - mean.reshape(shape)),
+                       axis=reduce_axes)
+        if not self.is_initializing():
+            n = x.size // c
+            bessel = n / max(n - 1, 1)
+            m = self.momentum
+            ra_mean.value = ((1.0 - m) * ra_mean.value
+                             + m * mean.astype(jnp.float32))
+            ra_var.value = ((1.0 - m) * ra_var.value
+                            + m * (var * bessel).astype(jnp.float32))
+        out_dtype = self.dtype or x.dtype
+        inv = jax.lax.rsqrt(var + self.eps) * scale.astype(stat_dtype)
+        beta = bias.astype(stat_dtype) - mean * inv
+        y = x.astype(out_dtype) * inv.astype(out_dtype).reshape(shape)
+        return y + beta.astype(out_dtype).reshape(shape)
+
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(rng.rand(2, 256, 256, 3), jnp.float32)
+    labels = jnp.asarray((rng.rand(2, 256, 256, 1) > 0.8), jnp.float32)
+    smap = jnp.asarray(
+        build_train_sample_map(np.ones((2, 256, 256), np.float32),
+                               PATCH // 2))
+
+    print(f"batch {BATCH}, patch {PATCH}, bf16")
+    for name in MODELS:
+        for variant, call in (("base", orig_call), ("fast", fast_call)):
+            L._TorchBatchNorm.__call__ = call
+            try:
+                model = create_model(name, dtype=jnp.bfloat16)
+                tx = make_optimizer(1e-4)
+                state = create_train_state(
+                    model, tx, jax.random.PRNGKey(0),
+                    jnp.zeros((1, PATCH, PATCH, 3), jnp.bfloat16))
+                copy_state = jax.jit(
+                    lambda s: jax.tree.map(lambda a: a + 0, s))
+                key = jax.random.PRNGKey(1)
+
+                def make(steps):
+                    return make_epoch_fn(
+                        model, tx, n_classes=model.n_classes,
+                        batch_size=BATCH, patch_size=PATCH, steps=steps,
+                        compute_dtype=jnp.bfloat16)
+
+                e1, eN = make(1), make(N_LONG)
+
+                def run(fn):
+                    s, m = fn(copy_state(state), images, labels, smap, key)
+                    return float(m["epoch_loss"])
+
+                l1 = run(e1); run(eN)
+                t0 = time.perf_counter(); run(e1)
+                t1 = time.perf_counter() - t0
+                t0 = time.perf_counter(); run(eN)
+                t2 = time.perf_counter() - t0
+                per = (t2 - t1) / (N_LONG - 1)
+                print(f"{name} [{variant}]: {per*1e3:8.2f} ms/step "
+                      f"{BATCH/per:8.1f} patches/s  (loss {l1:.5f})",
+                      flush=True)
+            except Exception as e:
+                print(f"{name} [{variant}]: FAIL {type(e).__name__}: "
+                      f"{str(e)[:140]}", flush=True)
+            finally:
+                L._TorchBatchNorm.__call__ = orig_call
+    print("DONE", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -233,3 +233,32 @@ class TestSlidingWindowEval:
         )
         assert len(per_image) == 1  # subset honored
         assert 0.0 <= mean <= 1.0 and (auc is None or 0.0 <= auc <= 1.0)
+
+
+class TestSpatialEval:
+    def test_spatial_flag_drives_whole_image_forward(self, drive_h5, tmp_path,
+                                                     monkeypatch):
+        """--spatial evaluates whole images with the H axis sharded over the
+        mesh (parallel/spatial.py) — no patch grid, no stitching."""
+        import jax
+
+        from jcfszxc_unet_tpu.parallel.mesh import make_mesh
+
+        monkeypatch.chdir(tmp_path)
+        model = create_model("RetinaLiteNet.TransFuseNet")
+        v = jax.jit(lambda r, x: model.init(r, x, True))(
+            jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+        mean, per_image, auc = eval_model(
+            model=model,
+            variables={"params": v["params"],
+                       "batch_stats": v.get("batch_stats", {})},
+            input_data=drive_h5["test"]["output_file"],
+            output_dir=str(tmp_path / "preds"),
+            patch_size=32,
+            inference_batch_size=4,
+            visualize=False,
+            spatial=True,
+            mesh=make_mesh(2),
+        )
+        assert len(per_image) == 2
+        assert 0.0 <= mean <= 1.0 and (auc is None or 0.0 <= auc <= 1.0)
