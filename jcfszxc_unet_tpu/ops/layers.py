@@ -124,6 +124,13 @@ class ConvTranspose2d(nn.Module):
         return y[:, ph : ph + h_out, pw : pw + w_out, :]
 
 
+# Trace-time switch: apply the train-mode BN normalization as a folded
+# per-channel multiply-add in the COMPUTE dtype (statistics stay f32),
+# mirroring the eval fast path.  Off by default pending measurement —
+# flipped by scripts/tpu_bn_train_fastpath.py.
+TRAIN_BN_FAST_APPLY = False
+
+
 class _TorchBatchNorm(nn.Module):
     """Torch-exact batch norm over the last axis of an (..., C) tensor.
 
@@ -189,6 +196,14 @@ class _TorchBatchNorm(nn.Module):
                                 + m * (var * bessel).astype(jnp.float32))
         out_dtype = self.dtype or x.dtype
         inv = jax.lax.rsqrt(var + self.eps) * scale.astype(stat_dtype)
+        if TRAIN_BN_FAST_APPLY and out_dtype != stat_dtype:
+            # Fold (mean, inv, bias) into one per-channel multiply-add
+            # applied in the compute dtype so the elementwise pass fuses
+            # into the producing conv's epilogue (same trick as the eval
+            # fast path above; constants stay f32).
+            beta = bias.astype(stat_dtype) - mean * inv
+            y = x.astype(out_dtype) * inv.astype(out_dtype).reshape(shape)
+            return y + beta.astype(out_dtype).reshape(shape)
         y = (x.astype(stat_dtype) - mean.reshape(shape)) * inv.reshape(shape)
         y = y + bias.reshape(shape).astype(stat_dtype)
         return y.astype(out_dtype)

@@ -38,41 +38,6 @@ def main():
     from jcfszxc_unet_tpu.train.state import create_train_state
     from jcfszxc_unet_tpu.train.trainer import make_epoch_fn
 
-    orig_call = L._TorchBatchNorm.__call__
-
-    def fast_call(self, x, use_running_average: bool):
-        if use_running_average:
-            return orig_call(self, x, use_running_average)
-        c = self.num_features
-        scale = self.param("scale", jax.nn.initializers.ones, (c,),
-                           jnp.float32)
-        bias = self.param("bias", jax.nn.initializers.zeros, (c,),
-                          jnp.float32)
-        ra_mean = self.variable(
-            "batch_stats", "mean", lambda: jnp.zeros((c,), jnp.float32))
-        ra_var = self.variable(
-            "batch_stats", "var", lambda: jnp.ones((c,), jnp.float32))
-        reduce_axes = tuple(range(x.ndim - 1))
-        stat_dtype = jnp.promote_types(x.dtype, jnp.float32)
-        shape = (1,) * (x.ndim - 1) + (c,)
-        xf = x.astype(stat_dtype)
-        mean = jnp.mean(xf, axis=reduce_axes)
-        var = jnp.mean(jnp.square(xf - mean.reshape(shape)),
-                       axis=reduce_axes)
-        if not self.is_initializing():
-            n = x.size // c
-            bessel = n / max(n - 1, 1)
-            m = self.momentum
-            ra_mean.value = ((1.0 - m) * ra_mean.value
-                             + m * mean.astype(jnp.float32))
-            ra_var.value = ((1.0 - m) * ra_var.value
-                            + m * (var * bessel).astype(jnp.float32))
-        out_dtype = self.dtype or x.dtype
-        inv = jax.lax.rsqrt(var + self.eps) * scale.astype(stat_dtype)
-        beta = bias.astype(stat_dtype) - mean * inv
-        y = x.astype(out_dtype) * inv.astype(out_dtype).reshape(shape)
-        return y + beta.astype(out_dtype).reshape(shape)
-
     rng = np.random.RandomState(0)
     images = jnp.asarray(rng.rand(2, 256, 256, 3), jnp.float32)
     labels = jnp.asarray((rng.rand(2, 256, 256, 1) > 0.8), jnp.float32)
@@ -82,8 +47,8 @@ def main():
 
     print(f"batch {BATCH}, patch {PATCH}, bf16")
     for name in MODELS:
-        for variant, call in (("base", orig_call), ("fast", fast_call)):
-            L._TorchBatchNorm.__call__ = call
+        for variant, fast in (("base", False), ("fast", True)):
+            L.TRAIN_BN_FAST_APPLY = fast
             try:
                 model = create_model(name, dtype=jnp.bfloat16)
                 tx = make_optimizer(1e-4)
@@ -119,7 +84,7 @@ def main():
                 print(f"{name} [{variant}]: FAIL {type(e).__name__}: "
                       f"{str(e)[:140]}", flush=True)
             finally:
-                L._TorchBatchNorm.__call__ = orig_call
+                L.TRAIN_BN_FAST_APPLY = False
     print("DONE", flush=True)
 
 

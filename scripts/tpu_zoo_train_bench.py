@@ -12,7 +12,11 @@ import time
 
 import numpy as np
 
-BATCH, PATCH = 32, 128
+import os
+
+BATCH = int(os.environ.get("TRAIN_BENCH_BATCH", "32"))
+PATCH = 128
+ONLY = [m for m in os.environ.get("TRAIN_BENCH_MODELS", "").split(",") if m]
 PEAK_TFLOPS = 394.0
 N_LONG = 6
 
@@ -34,7 +38,7 @@ def main():
         build_train_sample_map(np.ones((2, 256, 256), np.float32), PATCH // 2))
 
     print(f"batch {BATCH}, patch {PATCH}, bf16; peak {PEAK_TFLOPS} TFLOP/s")
-    for name in MODEL_REGISTRY:
+    for name in (ONLY or MODEL_REGISTRY):
         kwargs = {"N": PATCH} if name.startswith("BCDUNet.") else {}
         try:
             model = create_model(name, dtype=jnp.bfloat16, **kwargs)
