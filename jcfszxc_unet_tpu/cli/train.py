@@ -65,6 +65,7 @@ def train_model(
     remat: bool = False,
     latest_path: str | None = None,
     resume_from: str | None = None,
+    async_checkpoints: bool = True,
 ):
     """Run the reference training protocol end-to-end; returns best dice.
 
@@ -173,6 +174,25 @@ def train_model(
     data_key = jax.random.fold_in(key, 0xDA7A)
     throughput = Throughput()  # steady-state patches/sec, compile excluded
 
+    # Checkpoint writes (the 124 MB device→host fetch per improving epoch)
+    # overlap with the next epoch's compute instead of blocking it.
+    # The train step donates its state buffers, so the async path first
+    # takes a one-dispatch on-device snapshot (HBM→HBM, sub-ms) — without
+    # it the next epoch's donation deletes the buffers mid-fetch.
+    writer = ckpt.AsyncCheckpointWriter() if async_checkpoints else None
+    snapshot = jax.jit(lambda t: jax.tree.map(jnp.copy, t))
+
+    def save_ckpt(path, model_name, model_kwargs, params, stats, extra=None):
+        if writer is not None:
+            params, stats = snapshot((params, stats))
+            if extra is not None and "opt_state" in extra:
+                extra = dict(extra, opt_state=snapshot(extra["opt_state"]))
+            writer.submit(ckpt.save_model, path, model_name, model_kwargs,
+                          params, stats, extra=extra)
+        else:
+            ckpt.save_model(path, model_name, model_kwargs, params, stats,
+                            extra=extra)
+
     if profile_dir:
         jax.profiler.start_trace(profile_dir)
 
@@ -201,8 +221,8 @@ def train_model(
         if dice > best_dice:
             best_dice = dice
             patience_counter = 0
-            ckpt.save_model(save_path, model_name, model_kwargs,
-                            state.params, state.batch_stats)
+            save_ckpt(save_path, model_name, model_kwargs,
+                      state.params, state.batch_stats)
         else:
             patience_counter += 1
             print(
@@ -230,7 +250,7 @@ def train_model(
         if latest_path:
             from flax import serialization as _ser
 
-            ckpt.save_model(
+            save_ckpt(
                 latest_path, model_name, model_kwargs,
                 state.params, state.batch_stats,
                 extra={
@@ -257,6 +277,8 @@ def train_model(
 
     if profile_dir:
         jax.profiler.stop_trace()
+    if writer is not None:
+        writer.close()  # checkpoints on disk before callers read them
     return best_dice
 
 
@@ -308,6 +330,9 @@ def get_args(argv=None):
     parser.add_argument("--resume", type=str, default=None,
                         help="Exact-resume from a --latest-path checkpoint "
                              "(implies loading its params too)")
+    parser.add_argument("--sync-checkpoints", action="store_true",
+                        help="Block training on each checkpoint write "
+                             "(default: writes overlap the next epoch)")
     return parser.parse_args(argv)
 
 
@@ -315,6 +340,11 @@ def main(argv=None):
     args = get_args(argv)
     logging.basicConfig(level=logging.INFO, format="%(levelname)s: %(message)s")
     logging.info(f"Using devices: {jax.devices()}")
+
+    from jcfszxc_unet_tpu.utils.cache import enable_persistent_compile_cache
+
+    if enable_persistent_compile_cache():
+        logging.info("Persistent XLA compile cache enabled")
 
     n_dev = args.devices or len(jax.devices())
     mesh = make_mesh(n_dev) if n_dev > 1 else None
@@ -362,6 +392,7 @@ def main(argv=None):
         remat=args.remat,
         latest_path=args.latest_path,
         resume_from=args.resume,
+        async_checkpoints=not args.sync_checkpoints,
     )
 
 

@@ -118,6 +118,56 @@ def load_extra(path: str) -> Optional[Dict[str, Any]]:
     return payload.get("extra")
 
 
+class AsyncCheckpointWriter:
+    """Overlap checkpoint device→host fetch + disk write with training.
+
+    The reference blocks training on every best-model save
+    (``torch.save(model, ...)``, train.py:374).  Here the save's
+    device→host transfer (~124 MB for UNet) runs on a background thread:
+    jax device buffers are immutable, so snapshotting tree references at
+    submit time is consistent, and :func:`save_model`'s tmp+``os.replace``
+    write means concurrent readers see the old or the new file, never a
+    partial one.
+
+    One write in flight at a time: ``submit`` first waits for the
+    previous write (bounding extra HBM retention to one params snapshot
+    and surfacing any worker exception at the call site).  Call
+    :meth:`close` (or use as a context manager) before relying on files
+    being on disk.
+    """
+
+    def __init__(self):
+        from concurrent.futures import ThreadPoolExecutor
+
+        self._executor = ThreadPoolExecutor(
+            max_workers=1, thread_name_prefix="ckpt-writer")
+        self._pending = None
+
+    def submit(self, fn, *args, **kwargs):
+        self.wait()
+        self._pending = self._executor.submit(fn, *args, **kwargs)
+
+    def wait(self):
+        """Block until the in-flight write (if any) completes; re-raises
+        any exception from the worker."""
+        if self._pending is not None:
+            pending, self._pending = self._pending, None
+            pending.result()
+
+    def close(self):
+        try:
+            self.wait()
+        finally:
+            self._executor.shutdown(wait=True)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+        return False
+
+
 # ---------------------------------------------------------------------------
 # Orbax directory checkpoints (production path: async, sharded-aware)
 # ---------------------------------------------------------------------------
