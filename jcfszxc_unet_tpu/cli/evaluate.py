@@ -208,6 +208,10 @@ def main(argv=None):
     os.makedirs(args.output_dir, exist_ok=True)
     os.makedirs("demo", exist_ok=True)
     logging.info(f"Using devices: {jax.devices()}")
+
+    from jcfszxc_unet_tpu.utils.cache import enable_persistent_compile_cache
+
+    enable_persistent_compile_cache()
     logging.info(f"Loading model from {args.model}")
     compute_dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     # Accepts framework checkpoints AND reference whole-module .pth files

@@ -55,6 +55,10 @@ def main(argv=None):
     args = get_args(argv)
     logging.basicConfig(level=logging.INFO, format="%(levelname)s: %(message)s")
     logging.info(f"Using devices: {jax.devices()}")
+
+    from jcfszxc_unet_tpu.utils.cache import enable_persistent_compile_cache
+
+    enable_persistent_compile_cache()
     compute_dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
 
     if args.load:
