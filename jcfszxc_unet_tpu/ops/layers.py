@@ -355,20 +355,64 @@ def upsample_nearest(x, scale: int = 2):
 
 
 def _linear_resize_weights(in_size: int, out_size: int, align_corners: bool):
+    """Static 1-D linear-interpolation source indices/fractions (numpy:
+    sizes are trace-time constants; device arrays here would cost eager
+    relay round-trips during tracing)."""
+    import numpy as _np
+
     if out_size == 1:
-        src = jnp.zeros((1,), jnp.float32)
+        src = _np.zeros((1,), _np.float32)
     elif align_corners:
-        src = jnp.arange(out_size, dtype=jnp.float32) * (
+        src = _np.arange(out_size, dtype=_np.float32) * (
             (in_size - 1) / (out_size - 1)
         )
     else:
         scale = in_size / out_size
-        src = jnp.maximum((jnp.arange(out_size, dtype=jnp.float32) + 0.5) * scale - 0.5, 0.0)
-        src = jnp.minimum(src, in_size - 1)
-    lo = jnp.floor(src).astype(jnp.int32)
-    hi = jnp.minimum(lo + 1, in_size - 1)
-    frac = src - lo.astype(jnp.float32)
+        src = _np.maximum(
+            (_np.arange(out_size, dtype=_np.float32) + 0.5) * scale - 0.5, 0.0)
+        src = _np.minimum(src, in_size - 1)
+    lo = _np.floor(src).astype(_np.int32)
+    hi = _np.minimum(lo + 1, in_size - 1)
+    frac = (src - lo.astype(_np.float32)).astype(_np.float32)
     return lo, hi, frac
+
+
+# When True (default), bilinear upsampling contracts against constant
+# interpolation matrices (MXU einsums) instead of gathering rows/columns.
+# Identical two-term linear combination per output pixel.  MEASURED on the
+# v5e (scripts/tpu_bilinear_forms.py): the gather form is catastrophically
+# slow on TPU (21 ms for one 64->128 upsample at 64 ch, batch 64; XLA
+# lowers the row/column gathers badly), the einsum form 20-45x faster in
+# isolation; end-to-end NestedUNet inference 497 -> 1,693 img/s (3.4x),
+# MCUNet 3,374 -> 8,912 (2.6x).
+BILINEAR_VIA_MATMUL = True
+
+
+def _linear_resize_matrix(in_size: int, out_size: int, align_corners: bool):
+    """Dense (out_size, in_size) 1-D linear-interpolation matrix: each row
+    holds the two source weights (1-f, f) of that output coordinate."""
+    import numpy as _np
+
+    lo, hi, f = _linear_resize_weights(in_size, out_size, align_corners)
+    a = _np.zeros((out_size, in_size), _np.float32)
+    rows = _np.arange(out_size)
+    _np.add.at(a, (rows, lo), 1.0 - f)
+    _np.add.at(a, (rows, hi), f)
+    return a
+
+
+def upsample_bilinear_matmul(x, scale: int = 2, align_corners: bool = True):
+    """Bilinear upsample as two einsum contractions with constant
+    interpolation matrices — the MXU-friendly formulation of
+    :func:`upsample_bilinear` (same math: each output pixel is the same
+    2-term H blend then 2-term W blend, weights cast to x.dtype)."""
+    n, h, w, c = x.shape
+    ah = jnp.asarray(_linear_resize_matrix(h, h * scale, align_corners),
+                     x.dtype)
+    aw = jnp.asarray(_linear_resize_matrix(w, w * scale, align_corners),
+                     x.dtype)
+    x = jnp.einsum("hH,nHwc->nhwc", ah, x)
+    return jnp.einsum("wW,nhWc->nhwc", aw, x)
 
 
 def upsample_bilinear(x, scale: int = 2, align_corners: bool = True):
@@ -377,6 +421,8 @@ def upsample_bilinear(x, scale: int = 2, align_corners: bool = True):
     align_corners=True matches reference Up_v1 (unet_parts.py:429) and
     NestedUNet's shared ``up`` (UNetPP.py:43).
     """
+    if BILINEAR_VIA_MATMUL:
+        return upsample_bilinear_matmul(x, scale, align_corners)
     n, h, w, c = x.shape
     oh, ow = h * scale, w * scale
     lo_h, hi_h, fh = _linear_resize_weights(h, oh, align_corners)

@@ -1,13 +1,14 @@
 """Per-model inference throughput on the real chip (bf16, 128x128 patches,
 batch 64 to bound compile memory for the big models). Loop-in-jit timing."""
-import time, functools
+import os, time, functools
 import numpy as np, jax, jax.numpy as jnp
 from jcfszxc_unet_tpu.models import MODEL_REGISTRY, create_model
 
 B, P, N = 64, 128, 11
+ONLY = [m for m in os.environ.get("ZOO_BENCH_MODELS", "").split(",") if m]
 x = jnp.asarray(np.random.RandomState(0).rand(B, P, P, 3), jnp.bfloat16)
 
-for name in MODEL_REGISTRY:
+for name in (ONLY or MODEL_REGISTRY):
     kwargs = {"N": P} if name.startswith("BCDUNet.") else {}
     try:
         model = create_model(name, dtype=jnp.bfloat16, **kwargs)

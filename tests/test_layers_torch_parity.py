@@ -132,6 +132,16 @@ class TestResize:
         got = L.upsample_bilinear(jnp.asarray(x), 2, align_corners=False)
         np.testing.assert_allclose(np.asarray(got), _nhwc(want), rtol=1e-5, atol=1e-6)
 
+    def test_bilinear_matmul_form_matches_torch(self):
+        # the MXU einsum formulation must satisfy the same torch oracle
+        for ac, seed in [(True, 7), (False, 8)]:
+            x = np.random.RandomState(seed).randn(2, 6, 5, 3).astype(np.float32)
+            want = F.interpolate(_nchw(x), scale_factor=2, mode="bilinear",
+                                 align_corners=ac)
+            got = L.upsample_bilinear_matmul(jnp.asarray(x), 2, align_corners=ac)
+            np.testing.assert_allclose(
+                np.asarray(got), _nhwc(want), rtol=1e-5, atol=1e-6)
+
 
 class TestPadOrCrop:
     def test_positive_pad_matches_torch(self):
