@@ -1,8 +1,9 @@
 """End-to-end training-math parity: the production train step
 (train/trainer.py make_batch_step_fn — forward, ½BCE+½Dice, clip(1.0),
 RMSprop) against the reference's exact hot-loop math (train.py:255-301)
-executed by torch on the *actual* reference UNet with transplanted weights
-and identical batches.  f32, no AMP (CPU torch has no autocast effect).
+executed by torch on the *actual* reference models with transplanted
+weights and identical batches, across three dataflow archetypes (UNet,
+SegNet, MultiResUNet).  f32, no AMP (CPU torch has no autocast effect).
 
 The torch oracle uses the reference's own loss module
 (/root/reference/utils/dice_score.py) — not a re-creation.
@@ -65,14 +66,14 @@ def _torch_loss(tm, crit, ref_dice, xt, yt):
     return 0.5 * bce + 0.5 * d
 
 
-def _setup():
+def _setup(name="UNet.UNet"):
     ref_dice = _load_reference_dice()
     torch.manual_seed(5)
-    tm = reference_oracle.make_reference_model("UNet.UNet")
-    fm = create_model("UNet.UNet")
+    tm = reference_oracle.make_reference_model(name)
+    fm = create_model(name)
     template = jax.eval_shape(
         lambda: fm.init(jax.random.PRNGKey(0), jnp.zeros((1, SZ, SZ, 3)), True))
-    v0 = state_dict_to_variables("UNet.UNet", tm.state_dict(), template)
+    v0 = state_dict_to_variables(name, tm.state_dict(), template)
     return ref_dice, tm, fm, template, v0
 
 
@@ -82,8 +83,37 @@ def _batch(rng):
     return x, y
 
 
-def test_three_step_trajectory_matches_torch():
-    ref_dice, tm, fm, template, v0 = _setup()
+# Dropout-free archetypes spanning the zoo's dataflow space: the canonical
+# conv UNet; SegNet, whose argmax-unpool index routing must also be
+# differentiated correctly (gradients flow only to the argmax positions);
+# MultiResUNet, the densest BN usage (Conv2d_batchnorm everywhere + dual-BN
+# Multiresblock tails) and the worst-conditioned numerics in the zoo.
+#
+# SegNet runs in float64: its argmax routing makes the f32 trajectory
+# *chaotic*, not merely noisy — sub-ulp framework differences flip pooling
+# winners and re-route whole gradient paths (measured: f32 loss drift
+# ~1e-3 and param-delta rel ~0.5 by step 3, while f64 tracks torch-double
+# to ~2e-7).  f64 is the only precision at which "the training math is
+# identical" is a falsifiable statement for a discontinuous dataflow.
+@pytest.mark.parametrize("name,x64,loss_tol,delta_tol", [
+    ("UNet.UNet", False, 1e-5, 0.1),
+    ("SegNet.SegNet", True, 1e-5, 0.01),
+    ("MultiResUNet.MultiResUNet", False, 5e-5, 0.1),
+])
+def test_three_step_trajectory_matches_torch(name, x64, loss_tol, delta_tol):
+    import contextlib
+
+    ctx = jax.enable_x64() if x64 else contextlib.nullcontext()
+    with ctx:
+        _run_trajectory(name, x64, loss_tol, delta_tol)
+
+
+def _run_trajectory(name, x64, loss_tol, delta_tol):
+    ref_dice, tm, fm, template, v0 = _setup(name)
+    if x64:
+        tm = tm.double()
+        v0 = jax.tree.map(lambda a: jnp.asarray(np.asarray(a), jnp.float64),
+                          v0)
     p0 = jax.tree.map(np.array, v0["params"])
 
     tm.train()
@@ -99,8 +129,10 @@ def test_three_step_trajectory_matches_torch():
     step_fn = jax.jit(make_batch_step_fn(fm, tx, n_classes=1))
 
     rng = np.random.RandomState(3)
+    fdt = np.float64 if x64 else np.float32
     for s in range(STEPS):
         x, y = _batch(rng)
+        x, y = x.astype(fdt), y.astype(fdt)  # f32 -> f64 is exact
         xt = torch.from_numpy(x).permute(0, 3, 1, 2)
         yt = torch.from_numpy(y).permute(0, 3, 1, 2)
         loss_t = _torch_loss(tm, crit, ref_dice, xt, yt)
@@ -112,11 +144,11 @@ def test_three_step_trajectory_matches_torch():
         state, loss_j, ok = step_fn(state, jnp.asarray(x), jnp.asarray(y),
                                     jax.random.PRNGKey(s))
         assert bool(ok)
-        assert abs(float(loss_j) - float(loss_t)) < 1e-5, (
+        assert abs(float(loss_j) - float(loss_t)) < loss_tol, (
             s, float(loss_j), float(loss_t))
 
     # Updated parameters: compare the 3-step deltas in relative L2.
-    vT = state_dict_to_variables("UNet.UNet", tm.state_dict(), template)
+    vT = state_dict_to_variables(name, tm.state_dict(), template)
     num = den = 0.0
     for (pt, t), (pj, j), (_, z) in zip(
             jax.tree_util.tree_leaves_with_path(vT["params"]),
@@ -129,7 +161,7 @@ def test_three_step_trajectory_matches_torch():
         den += float(np.sum(dt ** 2))
     assert den > 0.0
     rel = (num / den) ** 0.5
-    assert rel < 0.1, rel  # measured ~0.045: f32 BN-backward noise class
+    assert rel < delta_tol, rel  # UNet measured ~0.045: f32 BN-backward noise
 
     # BN running stats must track torch through all 3 train-mode forwards.
     for (pt, t), (pj, j) in zip(
