@@ -31,9 +31,11 @@ from functools import partial
 
 import numpy as np
 
+import os
+
 REF_BASELINE_IMG_PER_SEC = 500.0  # estimated PyTorch single-GPU (see above)
 
-BATCH = 256
+BATCH = int(os.environ.get("BENCH_BATCH", "256"))
 PATCH = 128
 N_LONG = 21
 
