@@ -23,7 +23,12 @@ from jcfszxc_unet_tpu.ops.layers import (
 
 
 class _DoubleConvBias(nn.Module):
-    """UNetPP.py:15-28 — (Conv3x3 bias -> BN -> ReLU) x2."""
+    """UNetPP.py:15-28 — (Conv3x3 bias -> BN -> ReLU) x2.
+
+    ``x`` may be a tuple of tensors (their channels summing to ``in_ch``):
+    the first conv then runs in split-kernel form over the would-be
+    concat (see Conv2d._split_apply) — same math, no concat materialized.
+    """
 
     in_ch: int
     out_ch: int
@@ -59,31 +64,38 @@ class NestedUNet(nn.Module):
         nb = [32, 64, 128, 256, 512]
         up = lambda t: upsample_bilinear(t, 2, align_corners=True)
         cat = lambda *ts: jnp.concatenate(ts, axis=-1)
+        # Rows 0/1 feed their nodes TUPLES instead of a concat: their
+        # producers are 32/64-ch (lane-padded on TPU) and consuming them
+        # through a channel concat is pathological — the split-kernel
+        # Conv2d path (ops/layers.Conv2d._split_apply, algebraically
+        # identical) measured 2.4x faster on the 192-ch node.  Rows 2+
+        # have lane-aligned >=128-ch inputs where the concat is faster.
+        tup = lambda *ts: tuple(ts)
 
         def dc(name, cin, cout):
             return _DoubleConvBias(cin, cout, dtype=dt, name=name)
 
         x0_0 = dc("conv0_0", self.in_channel, nb[0])(x, train)
         x1_0 = dc("conv1_0", nb[0], nb[1])(max_pool2d(x0_0), train)
-        x0_1 = dc("conv0_1", nb[0] + nb[1], nb[0])(cat(x0_0, up(x1_0)), train)
+        x0_1 = dc("conv0_1", nb[0] + nb[1], nb[0])(tup(x0_0, up(x1_0)), train)
 
         x2_0 = dc("conv2_0", nb[1], nb[2])(max_pool2d(x1_0), train)
-        x1_1 = dc("conv1_1", nb[1] + nb[2], nb[1])(cat(x1_0, up(x2_0)), train)
-        x0_2 = dc("conv0_2", nb[0] * 2 + nb[1], nb[0])(cat(x0_0, x0_1, up(x1_1)), train)
+        x1_1 = dc("conv1_1", nb[1] + nb[2], nb[1])(tup(x1_0, up(x2_0)), train)
+        x0_2 = dc("conv0_2", nb[0] * 2 + nb[1], nb[0])(tup(x0_0, x0_1, up(x1_1)), train)
 
         x3_0 = dc("conv3_0", nb[2], nb[3])(max_pool2d(x2_0), train)
         x2_1 = dc("conv2_1", nb[2] + nb[3], nb[2])(cat(x2_0, up(x3_0)), train)
-        x1_2 = dc("conv1_2", nb[1] * 2 + nb[2], nb[1])(cat(x1_0, x1_1, up(x2_1)), train)
+        x1_2 = dc("conv1_2", nb[1] * 2 + nb[2], nb[1])(tup(x1_0, x1_1, up(x2_1)), train)
         x0_3 = dc("conv0_3", nb[0] * 3 + nb[1], nb[0])(
-            cat(x0_0, x0_1, x0_2, up(x1_2)), train)
+            tup(x0_0, x0_1, x0_2, up(x1_2)), train)
 
         x4_0 = dc("conv4_0", nb[3], nb[4])(max_pool2d(x3_0), train)
         x3_1 = dc("conv3_1", nb[3] + nb[4], nb[3])(cat(x3_0, up(x4_0)), train)
         x2_2 = dc("conv2_2", nb[2] * 2 + nb[3], nb[2])(cat(x2_0, x2_1, up(x3_1)), train)
         x1_3 = dc("conv1_3", nb[1] * 3 + nb[2], nb[1])(
-            cat(x1_0, x1_1, x1_2, up(x2_2)), train)
+            tup(x1_0, x1_1, x1_2, up(x2_2)), train)
         x0_4 = dc("conv0_4", nb[0] * 4 + nb[1], nb[0])(
-            cat(x0_0, x0_1, x0_2, x0_3, up(x1_3)), train)
+            tup(x0_0, x0_1, x0_2, x0_3, up(x1_3)), train)
 
         if self.deepsupervision:
             outs = []

@@ -91,6 +91,10 @@ class Up(nn.Module):
             self.in_channels, self.in_channels // 2, 2, stride=2, dtype=self.dtype
         )(x1)
         x1 = pad_or_crop_to(x1, x2.shape[1], x2.shape[2])
+        # A split-kernel (tuple) variant of this concat was measured on the
+        # v5e and is a wash for UNet (12.7 vs 12.4 ms control) — one narrow
+        # pair is not the NestedUNet many-narrow-producers pathology; the
+        # concat stays (experiments_record.md round 2).
         x = jnp.concatenate([x2, x1], axis=-1)
         return DoubleConv(self.in_channels, self.out_channels, dtype=self.dtype)(x, train)
 
