@@ -178,107 +178,133 @@ def train_model(
     # overlap with the next epoch's compute instead of blocking it.
     # The train step donates its state buffers, so the async path first
     # takes a one-dispatch on-device snapshot (HBM→HBM, sub-ms) — without
-    # it the next epoch's donation deletes the buffers mid-fetch.
+    # it the next epoch's donation deletes the buffers mid-fetch.  All of
+    # an epoch's writes (best + --latest-path) go out as ONE submission
+    # over ONE snapshot: a second submit in the same epoch would block on
+    # the first write and defeat the overlap, and waiting BEFORE
+    # snapshotting bounds extra HBM retention to a single state copy.
     writer = ckpt.AsyncCheckpointWriter() if async_checkpoints else None
     snapshot = jax.jit(lambda t: jax.tree.map(jnp.copy, t))
+    epoch_saves = []  # (path, extra) jobs accumulated within one epoch
 
     def save_ckpt(path, model_name, model_kwargs, params, stats, extra=None):
         if writer is not None:
-            params, stats = snapshot((params, stats))
-            if extra is not None and "opt_state" in extra:
-                extra = dict(extra, opt_state=snapshot(extra["opt_state"]))
-            writer.submit(ckpt.save_model, path, model_name, model_kwargs,
-                          params, stats, extra=extra)
+            epoch_saves.append((path, extra))
         else:
             ckpt.save_model(path, model_name, model_kwargs, params, stats,
                             extra=extra)
 
+    def flush_epoch_saves():
+        if writer is None or not epoch_saves:
+            return
+        jobs, epoch_saves[:] = list(epoch_saves), []
+        writer.wait()  # before snapshotting: bounds HBM to one extra copy
+        params, stats = snapshot((state.params, state.batch_stats))
+        jobs = [
+            (path,
+             dict(extra, opt_state=snapshot(extra["opt_state"]))
+             if extra is not None and "opt_state" in extra else extra)
+            for path, extra in jobs
+        ]
+
+        def write_all(jobs=jobs, params=params, stats=stats):
+            for path, extra in jobs:
+                ckpt.save_model(path, model_name, model_kwargs,
+                                params, stats, extra=extra)
+
+        writer.submit(write_all)
+
     if profile_dir:
         jax.profiler.start_trace(profile_dir)
 
-    while True:
-        epoch += 1
-        if max_epochs is not None and epoch > max_epochs:
-            break
-        data_key, epoch_key = jax.random.split(data_key)
-        state, train_metrics = epoch_fn(
-            state, train_images, train_labels, train_map_dev, epoch_key
-        )
-        metrics, probs = val_fn(state.params, state.batch_stats, val_imgs, val_labs)
-        # single host sync point per epoch
-        epoch_loss = float(train_metrics["epoch_loss"])
-        skipped = int(train_metrics["skipped"])
-        dice = float(metrics["dice"])
-        dice_avg = float(metrics["dice_avg"])
-        pps = throughput.tick(steps * batch_size)
-
-        lr = get_current_lr(state.opt_state)
-        new_lr = scheduler.step(dice, lr)
-        if new_lr != lr:
-            state = state.replace(opt_state=set_current_lr(state.opt_state, new_lr))
-            logging.info(f"Plateau scheduler: lr {lr:.2e} -> {new_lr:.2e}")
-
-        if dice > best_dice:
-            best_dice = dice
-            patience_counter = 0
-            save_ckpt(save_path, model_name, model_kwargs,
-                      state.params, state.batch_stats)
-        else:
-            patience_counter += 1
-            print(
-                f"Dice score did not improve. Patience: "
-                f"{patience_counter}/{early_stopping_patience}"
-            )
-            if patience_counter >= early_stopping_patience:
-                print(
-                    f"Early stopping triggered after {epoch} epochs. "
-                    f"Best dice score: {best_dice:.4f}"
-                )
+    try:
+        while True:
+            epoch += 1
+            if max_epochs is not None and epoch > max_epochs:
                 break
+            data_key, epoch_key = jax.random.split(data_key)
+            state, train_metrics = epoch_fn(
+                state, train_images, train_labels, train_map_dev, epoch_key
+            )
+            metrics, probs = val_fn(state.params, state.batch_stats, val_imgs, val_labs)
+            # single host sync point per epoch
+            epoch_loss = float(train_metrics["epoch_loss"])
+            skipped = int(train_metrics["skipped"])
+            dice = float(metrics["dice"])
+            dice_avg = float(metrics["dice_avg"])
+            pps = throughput.tick(steps * batch_size)
 
-        print(
-            f"Epoch {epoch} - "
-            f"LR: {new_lr:.2e} - "
-            f"Loss: {epoch_loss / steps:.4g} - "
-            f"Dice: {dice:.4g} - "
-            f"Avg Dice: {dice_avg:.4g} - "
-            f"Best Dice: {best_dice:.4g}"
-            + (f" - {pps:.0f} patches/s" if pps else "")
-            + (f" - skipped {skipped} NaN steps" if skipped else "")
-        )
+            lr = get_current_lr(state.opt_state)
+            new_lr = scheduler.step(dice, lr)
+            if new_lr != lr:
+                state = state.replace(opt_state=set_current_lr(state.opt_state, new_lr))
+                logging.info(f"Plateau scheduler: lr {lr:.2e} -> {new_lr:.2e}")
 
-        if latest_path:
-            from flax import serialization as _ser
+            if dice > best_dice:
+                best_dice = dice
+                patience_counter = 0
+                save_ckpt(save_path, model_name, model_kwargs,
+                          state.params, state.batch_stats)
+            else:
+                patience_counter += 1
+                print(
+                    f"Dice score did not improve. Patience: "
+                    f"{patience_counter}/{early_stopping_patience}"
+                )
+                if patience_counter >= early_stopping_patience:
+                    print(
+                        f"Early stopping triggered after {epoch} epochs. "
+                        f"Best dice score: {best_dice:.4f}"
+                    )
+                    break
 
-            save_ckpt(
-                latest_path, model_name, model_kwargs,
-                state.params, state.batch_stats,
-                extra={
-                    "opt_state": _ser.to_state_dict(state.opt_state),
-                    "progress": {
-                        "epoch": epoch,
-                        "best_dice": best_dice,
-                        "patience_counter": patience_counter,
-                        "scheduler_best": scheduler.best,
-                        "scheduler_bad": scheduler.num_bad_epochs,
-                        "scheduler_cooldown": scheduler.cooldown_counter,
+            print(
+                f"Epoch {epoch} - "
+                f"LR: {new_lr:.2e} - "
+                f"Loss: {epoch_loss / steps:.4g} - "
+                f"Dice: {dice:.4g} - "
+                f"Avg Dice: {dice_avg:.4g} - "
+                f"Best Dice: {best_dice:.4g}"
+                + (f" - {pps:.0f} patches/s" if pps else "")
+                + (f" - skipped {skipped} NaN steps" if skipped else "")
+            )
+
+            if latest_path:
+                from flax import serialization as _ser
+
+                save_ckpt(
+                    latest_path, model_name, model_kwargs,
+                    state.params, state.batch_stats,
+                    extra={
+                        "opt_state": _ser.to_state_dict(state.opt_state),
+                        "progress": {
+                            "epoch": epoch,
+                            "best_dice": best_dice,
+                            "patience_counter": patience_counter,
+                            "scheduler_best": scheduler.best,
+                            "scheduler_bad": scheduler.num_bad_epochs,
+                            "scheduler_cooldown": scheduler.cooldown_counter,
+                        },
                     },
-                },
-            )
+                )
 
-        if visualize and val_imgs.shape[0] > 0:
-            sample_num = min(100, val_imgs.shape[0] - 1)
-            save_triptych(
-                np.asarray(val_imgs[sample_num], np.float32),
-                np.asarray(probs[sample_num, ..., 0]),
-                np.asarray(val_labs[sample_num, ..., 0]),
-                f"visualizations/{epoch:03d}_{sample_num:03d}.png",
-            )
+            if visualize and val_imgs.shape[0] > 0:
+                sample_num = min(100, val_imgs.shape[0] - 1)
+                save_triptych(
+                    np.asarray(val_imgs[sample_num], np.float32),
+                    np.asarray(probs[sample_num, ..., 0]),
+                    np.asarray(val_labs[sample_num, ..., 0]),
+                    f"visualizations/{epoch:03d}_{sample_num:03d}.png",
+                )
 
-    if profile_dir:
-        jax.profiler.stop_trace()
-    if writer is not None:
-        writer.close()  # checkpoints on disk before callers read them
+            flush_epoch_saves()  # one snapshot + one submission per epoch
+
+    finally:
+        if profile_dir:
+            jax.profiler.stop_trace()
+        if writer is not None:
+            flush_epoch_saves()  # jobs queued by a breaking epoch
+            writer.close()  # surfaces write errors; checkpoints on disk
     return best_dice
 
 

@@ -452,6 +452,13 @@ def _linear_resize_weights(in_size: int, out_size: int, align_corners: bool):
 # MCUNet 3,374 -> 8,912 (2.6x).
 BILINEAR_VIA_MATMUL = True
 
+# The dense interpolation matrix costs O(in_size) MACs per output pixel
+# (vs the gather form's 2), and the win is measured at patch-scale sizes
+# (in 16-64).  Beyond this input size — e.g. whole-image --spatial
+# inference on 584x565 DRIVE images — fall back to the gather form
+# rather than extrapolate the matmul's advantage by another 10x in FLOPs.
+BILINEAR_MATMUL_MAX_IN = 256
+
 
 def _linear_resize_matrix(in_size: int, out_size: int, align_corners: bool):
     """Dense (out_size, in_size) 1-D linear-interpolation matrix: each row
@@ -486,7 +493,7 @@ def upsample_bilinear(x, scale: int = 2, align_corners: bool = True):
     align_corners=True matches reference Up_v1 (unet_parts.py:429) and
     NestedUNet's shared ``up`` (UNetPP.py:43).
     """
-    if BILINEAR_VIA_MATMUL:
+    if BILINEAR_VIA_MATMUL and max(x.shape[1], x.shape[2]) <= BILINEAR_MATMUL_MAX_IN:
         return upsample_bilinear_matmul(x, scale, align_corners)
     n, h, w, c = x.shape
     oh, ow = h * scale, w * scale

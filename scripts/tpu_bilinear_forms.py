@@ -56,7 +56,10 @@ def main():
     for h, c in [(64, 64), (64, 128), (32, 128), (32, 256), (16, 256)]:
         x = jnp.asarray(rng.rand(BATCH, h, h, c), jnp.bfloat16)
         g = timed(lambda t: L.upsample_bilinear_matmul(t, 2, True), x)
+        # force the gather form regardless of the (now matmul) default
+        L.BILINEAR_VIA_MATMUL = False
         s = timed(lambda t: L.upsample_bilinear(t, 2, True), x)
+        L.BILINEAR_VIA_MATMUL = True
         print(f"  {h}x{h}x{c}: gather {s:7.3f} ms   einsum {g:7.3f} ms")
 
     # --- end-to-end: NestedUNet + MCUNet inference, both forms ---
