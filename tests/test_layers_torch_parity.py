@@ -132,6 +132,38 @@ class TestResize:
         got = L.upsample_bilinear(jnp.asarray(x), 2, align_corners=False)
         np.testing.assert_allclose(np.asarray(got), _nhwc(want), rtol=1e-5, atol=1e-6)
 
+    def test_split_input_conv_matches_fused(self):
+        # Conv2d with a tuple of inputs must equal the fused conv of their
+        # concat (the NestedUNet narrow-concat optimization), across
+        # padding/stride/dilation/bias, in f32 and under a bf16 dtype.
+        import jax
+        import jcfszxc_unet_tpu.ops.layers as L
+
+        rng = np.random.RandomState(11)
+        # bf16 tolerance is one bf16 ulp at the data's magnitude: the fused
+        # conv rounds one accumulated sum while the split form adds f32
+        # partials — same precision class, ±1-ulp coin flips at rounding
+        # boundaries.
+        for pad, stride, dil, bias, dt, tol in [
+            (1, 1, 1, True, None, 2e-5),
+            ("same", 1, 2, False, None, 2e-5),
+            (0, 2, 1, True, jnp.bfloat16, 8e-3),
+        ]:
+            xs = [jnp.asarray(rng.randn(2, 12, 10, c).astype(np.float32))
+                  for c in (3, 5, 8)]
+            conv = L.Conv2d(16, 7, 3, stride=stride, padding=pad,
+                            dilation=dil, use_bias=bias, dtype=dt)
+            v = jax.jit(conv.init)(jax.random.PRNGKey(0), tuple(xs))
+            v2 = jax.jit(conv.init)(
+                jax.random.PRNGKey(0), jnp.concatenate(xs, axis=-1))
+            # identical param trees from either input form
+            jax.tree.map(np.testing.assert_array_equal, v, v2)
+            got = conv.apply(v, tuple(xs))
+            want = conv.apply(v, jnp.concatenate(xs, axis=-1))
+            np.testing.assert_allclose(
+                np.asarray(got, np.float32), np.asarray(want, np.float32),
+                rtol=tol, atol=tol)
+
     def test_bilinear_matmul_form_matches_torch(self):
         # the MXU einsum formulation must satisfy the same torch oracle
         for ac, seed in [(True, 7), (False, 8)]:

@@ -69,8 +69,9 @@ def _torch_loss(tm, crit, ref_dice, xt, yt):
 def _setup(name="UNet.UNet"):
     ref_dice = _load_reference_dice()
     torch.manual_seed(5)
-    tm = reference_oracle.make_reference_model(name)
-    fm = create_model(name)
+    kwargs = {"N": SZ} if name.startswith("BCDUNet.") else {}
+    tm = reference_oracle.make_reference_model(name, **kwargs)
+    fm = create_model(name, **kwargs)
     template = jax.eval_shape(
         lambda: fm.init(jax.random.PRNGKey(0), jnp.zeros((1, SZ, SZ, 3)), True))
     v0 = state_dict_to_variables(name, tm.state_dict(), template)
@@ -100,6 +101,13 @@ def _batch(rng):
     ("SegNet.SegNet", True, 1e-5, 0.01),
     ("MultiResUNet.MultiResUNet", False, 5e-5, 0.1),
 ])
+# NOT parametrized: the dropout models (BCDU family's Dropout(0.5),
+# BCDUNet.py:32-55; FRUNet's Dropout2d; TransFuseNet) — train-mode
+# trajectories cannot match across frameworks under *random* dropout
+# (measured: per-tensor delta NORMS agree to ~1% while directions
+# decohere — different masks from different RNGs, same distribution).
+# Their training math is pinned instead by eval-forward transplant
+# parity + train-mode BN-statistics flow (test_reference_import_parity).
 def test_three_step_trajectory_matches_torch(name, x64, loss_tol, delta_tol):
     import contextlib
 
