@@ -3,9 +3,9 @@
 The reference's hot-loop bottleneck is a host-side python loop slicing numpy
 patches every step (train.py:201-241) followed by an H2D copy (244-253).
 Here the whole dataset (20 DRIVE images ≈ 25 MB) lives in HBM and patch
-extraction is a vmapped ``lax.dynamic_slice`` *inside the jitted train step*
-— zero host work, zero transfers in steady state.  This is where the >=10x
-throughput target is won (SURVEY.md §7 "Host-free input pipeline").
+extraction is a ``lax.fori_loop`` of dynamic slices *inside the jitted train
+step* — zero host work, zero transfers in steady state.  This is where the
+>=10x throughput target is won (SURVEY.md §7 "Host-free input pipeline").
 
 Semantics mirrored:
   * train sample map = coordinates of mask!=0 pixels whose centers are
@@ -60,21 +60,32 @@ def build_grid_sample_map(n_images: int, h: int, w: int, half_patch: int) -> np.
 
 @functools.partial(jax.jit, static_argnums=(2,))
 def extract_patches(pool: jnp.ndarray, centers: jnp.ndarray, patch_size: int):
-    """Gather patches from an HBM-resident pool (N, H, W, C).
+    """Extract patches from an HBM-resident pool (N, H, W, C).
 
     centers: int32 (B, 3) of (img_idx, x_center, y_center).
-    Returns (B, patch, patch, C).  All on-device; jit/vmap-friendly.
+    Returns (B, patch, patch, C).  All on-device.
+
+    Formulation: a ``fori_loop`` of dynamic_slice → dynamic_update_slice
+    pairs, NOT a vmapped dynamic_slice.  The vmap form lowers to an XLA
+    gather, which is catastrophic on TPU at DRIVE pool sizes — MEASURED
+    0.98 ms vs 242 ms for a 128-patch batch from an 18×584×565×3 pool
+    (scripts/tpu_sampler_forms.py; same lesson as the stitch, where the
+    loop form beat scatter 280×).  Each loop step is one fat contiguous
+    HBM copy.  No gradient flows through this (it reads data, not
+    params), so the sequential loop costs nothing in the backward.
     """
     half = patch_size // 2
+    b = centers.shape[0]
+    out = jnp.zeros((b, patch_size, patch_size, pool.shape[-1]), pool.dtype)
 
-    def one(center):
-        i, x, y = center[0], center[1], center[2]
-        img = jax.lax.dynamic_index_in_dim(pool, i, axis=0, keepdims=False)
-        return jax.lax.dynamic_slice(
-            img, (x - half, y - half, 0), (patch_size, patch_size, pool.shape[-1])
-        )
+    def body(k, out):
+        i, x, y = centers[k, 0], centers[k, 1], centers[k, 2]
+        patch = jax.lax.dynamic_slice(
+            pool, (i, x - half, y - half, 0),
+            (1, patch_size, patch_size, pool.shape[-1]))
+        return jax.lax.dynamic_update_slice(out, patch, (k, 0, 0, 0))
 
-    return jax.vmap(one)(centers)
+    return jax.lax.fori_loop(0, b, body, out)
 
 
 def sample_centers(key: jax.Array, sample_map: jnp.ndarray, batch_size: int):

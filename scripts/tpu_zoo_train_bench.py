@@ -17,6 +17,7 @@ import os
 BATCH = int(os.environ.get("TRAIN_BENCH_BATCH", "32"))
 PATCH = 128
 ONLY = [m for m in os.environ.get("TRAIN_BENCH_MODELS", "").split(",") if m]
+POOL_HW = int(os.environ.get("TRAIN_BENCH_POOL_HW", "256"))  # DRIVE ~584
 PEAK_TFLOPS = 394.0
 N_LONG = 6
 
@@ -32,10 +33,10 @@ def main():
     from jcfszxc_unet_tpu.train.trainer import make_epoch_fn
 
     rng = np.random.RandomState(0)
-    images = jnp.asarray(rng.rand(2, 256, 256, 3), jnp.float32)
-    labels = jnp.asarray((rng.rand(2, 256, 256, 1) > 0.8), jnp.float32)
+    images = jnp.asarray(rng.rand(2, POOL_HW, POOL_HW, 3), jnp.float32)
+    labels = jnp.asarray((rng.rand(2, POOL_HW, POOL_HW, 1) > 0.8), jnp.float32)
     smap = jnp.asarray(
-        build_train_sample_map(np.ones((2, 256, 256), np.float32), PATCH // 2))
+        build_train_sample_map(np.ones((2, POOL_HW, POOL_HW), np.float32), PATCH // 2))
 
     print(f"batch {BATCH}, patch {PATCH}, bf16; peak {PEAK_TFLOPS} TFLOP/s")
     for name in (ONLY or MODEL_REGISTRY):
