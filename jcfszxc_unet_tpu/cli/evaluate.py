@@ -205,6 +205,10 @@ def get_args(argv=None):
 def main(argv=None):
     args = get_args(argv)
     logging.basicConfig(level=logging.INFO, format="%(levelname)s: %(message)s")
+    if args.spatial and args.sliding_window:
+        raise SystemExit(
+            "--spatial and --sliding-window select different evaluation "
+            "protocols; pass at most one")
     os.makedirs(args.output_dir, exist_ok=True)
     os.makedirs("demo", exist_ok=True)
     logging.info(f"Using devices: {jax.devices()}")

@@ -189,6 +189,14 @@ def train_model(
 
     def save_ckpt(path, model_name, model_kwargs, params, stats, extra=None):
         if writer is not None:
+            # The queued job is written by flush_epoch_saves from a snapshot
+            # of `state` taken at end of epoch — valid only because callers
+            # always pass the live state's trees and nothing rebinds them
+            # between queue and flush.  Guard that invariant explicitly.
+            if params is not state.params or stats is not state.batch_stats:
+                raise ValueError(
+                    "async save_ckpt requires the live state.params/"
+                    "state.batch_stats (flush re-reads state at epoch end)")
             epoch_saves.append((path, extra))
         else:
             ckpt.save_model(path, model_name, model_kwargs, params, stats,
@@ -357,8 +365,11 @@ def get_args(argv=None):
                         help="Exact-resume from a --latest-path checkpoint "
                              "(implies loading its params too)")
     parser.add_argument("--sync-checkpoints", action="store_true",
-                        help="Block training on each checkpoint write "
-                             "(default: writes overlap the next epoch)")
+                        help="Block training on each checkpoint write. "
+                             "Default (async) overlaps writes with the next "
+                             "epoch, so a hard kill (SIGKILL/OOM) can lose "
+                             "up to the last epoch's queued best/latest "
+                             "writes; pass this flag for strict durability")
     return parser.parse_args(argv)
 
 

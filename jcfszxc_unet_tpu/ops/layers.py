@@ -88,7 +88,8 @@ class Conv2d(nn.Module):
         shapes/init) as the fused path — weight transplant and `.pth`
         import are unaffected.
         """
-        assert self.groups == 1, "split-input conv requires groups == 1"
+        if self.groups != 1:
+            raise ValueError("split-input conv requires groups == 1")
         kh, kw = ksize
         # match flax's promote_dtype: params are f32, so dtype=None promotes
         # a bf16 input to f32 exactly like the fused nn.Conv path would
@@ -133,7 +134,10 @@ class Conv2d(nn.Module):
             )
             out = part if out is None else out + part
             off += c
-        assert off == self.in_channels, (off, self.in_channels)
+        if off != self.in_channels:
+            raise ValueError(
+                f"split-input conv: input channels sum to {off}, "
+                f"expected {self.in_channels}")
         if bias is not None:
             out = out + bias.astype(dtype)
         return out

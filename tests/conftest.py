@@ -29,8 +29,15 @@ jax.config.update("jax_enable_x64", False)
 # Exact fp32 convs/matmuls so torch-oracle parity checks are tight.
 jax.config.update("jax_default_matmul_precision", "highest")
 # Persistent compilation cache: the model zoo is 16 sizeable graphs; cache
-# compiled executables across test runs.
-jax.config.update("jax_compilation_cache_dir", "/tmp/jcfszxc_unet_tpu_jax_cache")
+# compiled executables across test runs.  The dir is DISTINCT from the
+# CLIs' cache (utils/cache.py): that one refuses CPU entries because this
+# image can compile remotely on hosts with different CPU features
+# (SIGILL risk); the test cache is local-CPU-only and per-user (0700).
+_test_cache = os.path.join(
+    os.environ.get("XDG_CACHE_HOME") or os.path.expanduser("~/.cache"),
+    "jcfszxc_unet_tpu", "jax_cache_cpu_tests")
+os.makedirs(_test_cache, mode=0o700, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _test_cache)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
