@@ -19,7 +19,8 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from jcfszxc_unet_tpu.ops.blocks import ConvBlockPlain, ConvLSTM2D, UpConvT
-from jcfszxc_unet_tpu.ops.layers import Conv2d, max_pool2d
+from jcfszxc_unet_tpu.ops.layers import (Conv2d, dropout_deterministic,
+                                         max_pool2d)
 
 
 def _lstm_fuse(skip, up, lstm):
@@ -76,7 +77,7 @@ class _Encoder(nn.Module):
         conv2 = ConvBlockPlain(64, 128, dtype=dt, name="conv2")(pool1)
         pool2 = max_pool2d(conv2)
         conv3 = ConvBlockPlain(128, 256, dtype=dt, name="conv3")(pool2)
-        drop3 = nn.Dropout(0.5, deterministic=not train)(conv3)
+        drop3 = nn.Dropout(0.5, deterministic=dropout_deterministic(train))(conv3)
         pool3 = max_pool2d(conv3)  # pools conv3, not drop3 (BCDUNet.py:96)
         return conv1, conv2, conv3, drop3, pool3
 
@@ -103,14 +104,14 @@ class BCDU_net_D3(nn.Module):
         # Dense bottleneck D1 -> D2 -> concat -> D3 (BCDUNet.py:98-113)
         h = nn.relu(Conv2d(256, 512, 3, padding=1, dtype=dt, name="conv4")(pool3))
         h = nn.relu(Conv2d(512, 512, 3, padding=1, dtype=dt, name="conv4_1")(h))
-        drop4_1 = nn.Dropout(0.5, deterministic=not train)(h)
+        drop4_1 = nn.Dropout(0.5, deterministic=dropout_deterministic(train))(h)
         h = nn.relu(Conv2d(512, 512, 3, padding=1, dtype=dt, name="conv4_2")(drop4_1))
         h = nn.relu(Conv2d(512, 512, 3, padding=1, dtype=dt, name="conv4_2_2")(h))
-        drop4_2 = nn.Dropout(0.5, deterministic=not train)(h)
+        drop4_2 = nn.Dropout(0.5, deterministic=dropout_deterministic(train))(h)
         merge = jnp.concatenate([drop4_2, drop4_1], axis=-1)
         h = nn.relu(Conv2d(1024, 512, 3, padding=1, dtype=dt, name="conv4_3")(merge))
         h = nn.relu(Conv2d(512, 512, 3, padding=1, dtype=dt, name="conv4_3_2")(h))
-        drop4_3 = nn.Dropout(0.5, deterministic=not train)(h)
+        drop4_3 = nn.Dropout(0.5, deterministic=dropout_deterministic(train))(h)
         return _Decoder(self.num_classes, dtype=dt, name="decoder")(
             drop4_3, conv1, conv2, drop3, train
         )
@@ -137,7 +138,7 @@ class BCDU_net_D1(nn.Module):
                                                      name="encoder")(x, train)
         h = nn.relu(Conv2d(256, 512, 3, padding=1, dtype=dt, name="conv4")(pool3))
         h = nn.relu(Conv2d(512, 512, 3, padding=1, dtype=dt, name="conv4_1")(h))
-        drop4_1 = nn.Dropout(0.5, deterministic=not train)(h)
+        drop4_1 = nn.Dropout(0.5, deterministic=dropout_deterministic(train))(h)
         return _Decoder(self.num_classes, dtype=dt, name="decoder")(
             drop4_1, conv1, conv2, drop3, train
         )

@@ -35,6 +35,7 @@ from jcfszxc_unet_tpu.ops.layers import (
     adaptive_avg_pool_1x1,
     adaptive_max_pool_1x1,
     avg_pool2d,
+    dropout_deterministic,
     max_pool2d,
     pad_or_crop_to,
     upsample_bilinear,
@@ -266,7 +267,7 @@ class BABasicBlock(nn.Module):
         out = out * att
         residual = Conv2d(self.ch_in, self.ch_out, 1, stride=self.stride,
                           use_bias=False, dtype=self.dtype)(residual)
-        residual = nn.Dropout(0.5, deterministic=not train)(residual)
+        residual = nn.Dropout(0.5, deterministic=dropout_deterministic(train))(residual)
         return nn.relu(out + residual)
 
 
@@ -510,7 +511,7 @@ class FRConv(nn.Module):
                        dtype=self.dtype)(x)
             x = BatchNorm2d(self.out_c, dtype=self.dtype)(x, train)
             x = nn.Dropout(self.dp, broadcast_dims=(1, 2),
-                           deterministic=not train)(x)
+                           deterministic=dropout_deterministic(train))(x)
             x = nn.leaky_relu(x, 0.1)
         return x
 

@@ -497,6 +497,42 @@ def upsample_bilinear_matmul(x, scale: int = 2, align_corners: bool = True):
     return jnp.einsum("wW,nhWc->nhwc", aw, x)
 
 
+def resize_linear_align_corners(x, out_h: int, out_w: int):
+    """Arbitrary-size bilinear resize with align_corners=True on NHWC, as
+    two constant-matrix einsum contractions (the MXU form).
+
+    This is bit-exact (to f32 rounding) with ``scipy.ndimage.zoom(...,
+    order=1)``: zoom's order-1 spline maps output coordinate k to input
+    coordinate k*(in-1)/(out-1) — the align-corners grid (verified
+    numerically; tests/test_fractal.py pins it against the executed
+    reference train-demo.py:163-174 zoom calls)."""
+    n, h, w, c = x.shape
+    ah = jnp.asarray(_linear_resize_matrix(h, out_h, True), x.dtype)
+    aw = jnp.asarray(_linear_resize_matrix(w, out_w, True), x.dtype)
+    x = jnp.einsum("hH,nHwc->nhwc", ah, x)
+    return jnp.einsum("wW,nhWc->nhwc", aw, x)
+
+
+def resize_nearest_align_corners(x, out_h: int, out_w: int):
+    """Arbitrary-size nearest resize matching ``scipy.ndimage.zoom(...,
+    order=0)``: source index = round(k*(in-1)/(out-1)) (align-corners
+    grid, half rounds up via floor(x+0.5) — scipy's order-0 spline
+    convention).  Static constant indices -> XLA take."""
+    import numpy as _np
+
+    n, h, w, c = x.shape
+
+    def idx(in_size, out_size):
+        if out_size == 1:
+            return _np.zeros((1,), _np.int32)
+        src = _np.arange(out_size, dtype=_np.float64) * (
+            (in_size - 1) / (out_size - 1))
+        return _np.floor(src + 0.5).astype(_np.int32)
+
+    x = jnp.take(x, jnp.asarray(idx(h, out_h)), axis=1)
+    return jnp.take(x, jnp.asarray(idx(w, out_w)), axis=2)
+
+
 def upsample_bilinear(x, scale: int = 2, align_corners: bool = True):
     """torch nn.Upsample(mode='bilinear') on NHWC.
 
@@ -537,6 +573,43 @@ def pad_or_crop_to(x, target_h: int, target_w: int):
     crop_h0 = max(-lh, 0)
     crop_w0 = max(-lw, 0)
     return x[:, crop_h0 : crop_h0 + target_h, crop_w0 : crop_w0 + target_w, :]
+
+
+_DROPOUT_DISABLED = [False]
+
+
+def dropout_deterministic(train: bool) -> bool:
+    """The ``deterministic=`` value for a dropout layer given the model's
+    ``train`` flag.  Normally ``not train``; under :func:`dropout_disabled`
+    it is always True, which neutralizes dropout while BatchNorm keeps its
+    train-mode batch-statistics behavior.
+
+    That split mode is the cross-framework parity-testing mode: dropout
+    masks are RNG-coupled and can never match another framework's, but
+    every other train-mode mechanism (BN statistics flow, loss, backward,
+    optimizer) is deterministic and falsifiable once dropout is silenced —
+    the torch-side mirror is putting the reference's nn.Dropout submodules
+    in .eval() while the rest of the module stays .train()
+    (tests/test_reference_import_parity.py).
+
+    The flag is read at TRACE time: jit-compiled functions bake in the
+    value that was set when they were traced.
+    """
+    return (not train) or _DROPOUT_DISABLED[0]
+
+
+class dropout_disabled:
+    """Context manager: neutralize all dropout layers (see
+    :func:`dropout_deterministic`) for code traced within."""
+
+    def __enter__(self):
+        self._saved = _DROPOUT_DISABLED[0]
+        _DROPOUT_DISABLED[0] = True
+        return self
+
+    def __exit__(self, *exc):
+        _DROPOUT_DISABLED[0] = self._saved
+        return False
 
 
 def dropout2d(x, rate: float, deterministic: bool, rng=None):

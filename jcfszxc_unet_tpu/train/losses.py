@@ -71,11 +71,19 @@ def dice_loss(
     return 1.0 - fn(inputs, target, reduce_batch_first=True)
 
 
+def _at_least_f32(x: jnp.ndarray) -> jnp.ndarray:
+    """Promote low-precision (bf16) inputs to f32 for loss math while
+    preserving f64 — the x64 trajectory-parity tests need the loss computed
+    at full input precision to make "the training math is identical" a
+    falsifiable statement (a hard f32 cast floors the comparison at ~1e-7)."""
+    return x.astype(jnp.promote_types(x.dtype, jnp.float32))
+
+
 def bce_with_logits(logits: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
     """Numerically-stable mean binary cross-entropy on logits
     (torch nn.BCEWithLogitsLoss equivalent, ref train.py:124, 267)."""
-    logits = logits.astype(jnp.float32)
-    target = target.astype(jnp.float32)
+    logits = _at_least_f32(logits)
+    target = target.astype(logits.dtype)
     loss = (
         jnp.maximum(logits, 0.0)
         - logits * target
@@ -87,9 +95,9 @@ def bce_with_logits(logits: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
 def soft_cross_entropy(logits: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
     """torch nn.CrossEntropyLoss with probability targets of the same shape,
     channel axis -1 (NHWC).  Mean over batch and spatial positions."""
-    logits = logits.astype(jnp.float32)
+    logits = _at_least_f32(logits)
     logp = jax.nn.log_softmax(logits, axis=-1)
-    per_pos = -jnp.sum(target.astype(jnp.float32) * logp, axis=-1)
+    per_pos = -jnp.sum(target.astype(logits.dtype) * logp, axis=-1)
     return jnp.mean(per_pos)
 
 
@@ -107,8 +115,8 @@ def combined_loss(
 
     Returns (loss, bce, dice).
     """
-    logits = logits.astype(jnp.float32)
-    target = target.astype(jnp.float32)
+    logits = _at_least_f32(logits)
+    target = target.astype(logits.dtype)
     probs = jax.nn.sigmoid(logits)
     if n_classes > 1:
         bce = soft_cross_entropy(logits, target)

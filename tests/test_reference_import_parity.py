@@ -130,26 +130,48 @@ def test_eval_forward_matches_reference(name, kwargs, has_dropout, head):
         np.testing.assert_allclose(pre, want_pre, atol=2e-4 * scale, rtol=2e-3)
 
 
-@pytest.mark.parametrize(
-    "name,kwargs,has_dropout,head",
-    [c for c in CASES if not c[2]],
-    ids=[c[0] for c in CASES if not c[2]],
-)
+def neutralize_torch_dropout(tm):
+    """Put every dropout submodule of a train-mode reference model in
+    .eval() (BN stays .train()) — the torch mirror of our
+    ops.layers.dropout_disabled parity mode.  Returns the count silenced."""
+    import torch.nn as tnn
+
+    n = 0
+    for m in tm.modules():
+        if isinstance(m, (tnn.Dropout, tnn.Dropout2d, tnn.Dropout3d)):
+            m.eval()
+            n += 1
+    return n
+
+
+@pytest.mark.parametrize("name,kwargs,has_dropout,head", CASES, ids=IDS)
 def test_train_mode_bn_stats_match_reference(name, kwargs, has_dropout, head):
     """One train-mode forward on identical batches must produce identical
     updated running stats on every BN in the model — this pins the complete
     intermediate dataflow (any diverging activation would diverge its BN's
-    batch mean/var) plus the torch momentum/unbiased-var conventions."""
+    batch mean/var) plus the torch momentum/unbiased-var conventions.
+
+    Dropout models run with dropout neutralized on BOTH sides (torch
+    dropout submodules .eval() inside a .train() model; JAX under
+    ops.layers.dropout_disabled): masks are RNG-coupled and cannot match
+    across frameworks, but with them silenced the full train-mode dataflow
+    and BN-statistics flow of all 16 models is falsifiable."""
+    from jcfszxc_unet_tpu.ops.layers import dropout_disabled
+
     tm, fm, variables = _build_pair(name, kwargs, seed=3)
     x_np = np.random.RandomState(7).rand(2, SZ, SZ, 3).astype(np.float32)
 
     tm.train()
+    if has_dropout:
+        assert neutralize_torch_dropout(tm) > 0
     with torch.no_grad():
         tm(torch.from_numpy(x_np).permute(0, 3, 1, 2))
     tm.eval()
 
-    _, updated = fm.apply(variables, jnp.asarray(x_np), True,
-                          mutable=["batch_stats"])
+    with dropout_disabled():
+        _, updated = fm.apply(variables, jnp.asarray(x_np), True,
+                              mutable=["batch_stats"],
+                              rngs={"dropout": jax.random.PRNGKey(0)})
 
     # Re-map the post-step torch state_dict; its batch_stats must equal ours.
     template = jax.eval_shape(

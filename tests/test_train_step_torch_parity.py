@@ -58,7 +58,10 @@ def _load_reference_dice():
 
 
 def _torch_loss(tm, crit, ref_dice, xt, yt):
-    """The reference loss composition, train.py:255-278 (alpha = 0.5)."""
+    """The reference loss composition, train.py:255-278 (alpha = 0.5).
+    ``crit`` is BCEWithLogitsLoss, or CrossEntropyLoss when the model
+    reports n_classes > 1 (train.py:124 — DenseUNet's n_classes=128
+    defect; with one logit channel the soft-target CE is identically 0)."""
     pred = tm(xt)
     bce = crit(pred, yt)
     d = ref_dice.dice_loss(torch.sigmoid(pred).squeeze(1), yt.squeeze(1),
@@ -96,27 +99,63 @@ def _batch(rng):
 # ~1e-3 and param-delta rel ~0.5 by step 3, while f64 tracks torch-double
 # to ~2e-7).  f64 is the only precision at which "the training math is
 # identical" is a falsifiable statement for a discontinuous dataflow.
-@pytest.mark.parametrize("name,x64,loss_tol,delta_tol", [
-    ("UNet.UNet", False, 1e-5, 0.1),
-    ("SegNet.SegNet", True, 1e-5, 0.01),
-    ("MultiResUNet.MultiResUNet", False, 5e-5, 0.1),
+# Every distinct forward/loss mechanism in the zoo has a trajectory case:
+#   UNet          — canonical conv encoder/decoder (plain-conv archetype)
+#   SegNet        — argmax pool/unpool index routing (gradients flow only
+#                   to winner positions; f64, see below)
+#   MultiResUNet  — densest BN usage, worst-conditioned numerics
+#   AttentionUNet — additive attention gates (unet_parts.py:149-176); f64:
+#                   the gate's sigmoid·x modulation amplifies f32 BN-
+#                   backward noise past the f32 loss tolerance (measured
+#                   1.2e-4 by step 2), while f64 tracks torch-double to
+#                   <1e-9 — the sharper falsifiable form
+#   R2UNet        — recurrent shared-weight conv backward
+#                   (unet_parts.py:114-146: grads sum over the unroll);
+#                   f64 for the same reason (f32 drift 1e-4, f64 <1e-9)
+#   BCDU_net_D1   — ConvLSTM backward through the 2-step time axis
+#                   (unet_parts.py:809-869); its Dropout(0.5) is
+#                   neutralized on BOTH sides (torch submodule .eval(),
+#                   JAX ops.layers.dropout_disabled) — masks are
+#                   RNG-coupled across frameworks, everything else is
+#                   deterministic and falsifiable
+#   FRUNet        — 17-node full-resolution grid + Dropout2d neutralized
+#                   the same way (the reference's best-Dice model)
+#   TransFuseNet  — MultiheadAttention bottleneck backward
+#                   (RetinaLiteNet.py:72-80) + double-sigmoid head
+#   DenseUNet     — the n_classes=128 CrossEntropy loss branch
+#                   (train.py:124): soft-target CE over ONE logit channel
+#                   is identically 0, so only the Dice half trains
+#
+# SegNet runs in float64: its argmax routing makes the f32 trajectory
+# *chaotic*, not merely noisy — sub-ulp framework differences flip pooling
+# winners and re-route whole gradient paths (measured: f32 loss drift
+# ~1e-3 and param-delta rel ~0.5 by step 3, while f64 tracks torch-double
+# to ~2e-7).  f64 is the only precision at which "the training math is
+# identical" is a falsifiable statement for a discontinuous dataflow.
+@pytest.mark.parametrize("name,x64,loss_tol,delta_tol,neutralize", [
+    ("UNet.UNet", False, 1e-5, 0.1, False),
+    ("SegNet.SegNet", True, 1e-5, 0.01, False),
+    ("MultiResUNet.MultiResUNet", False, 5e-5, 0.1, False),
+    ("AttentionUNet.AttentionUNet", True, 1e-8, 1e-4, False),
+    ("R2UNet.R2UNet", True, 1e-8, 1e-4, False),
+    ("BCDUNet.BCDU_net_D1", False, 1e-5, 0.1, True),
+    ("FRUNet.FRUNet", False, 1e-5, 0.1, True),
+    ("RetinaLiteNet.TransFuseNet", False, 1e-5, 0.1, False),
+    ("DenseUNet.DenseUNet", False, 1e-5, 0.1, False),
 ])
-# NOT parametrized: the dropout models (BCDU family's Dropout(0.5),
-# BCDUNet.py:32-55; FRUNet's Dropout2d; TransFuseNet) — train-mode
-# trajectories cannot match across frameworks under *random* dropout
-# (measured: per-tensor delta NORMS agree to ~1% while directions
-# decohere — different masks from different RNGs, same distribution).
-# Their training math is pinned instead by eval-forward transplant
-# parity + train-mode BN-statistics flow (test_reference_import_parity).
-def test_three_step_trajectory_matches_torch(name, x64, loss_tol, delta_tol):
+def test_three_step_trajectory_matches_torch(name, x64, loss_tol, delta_tol,
+                                             neutralize):
     import contextlib
 
+    from jcfszxc_unet_tpu.ops.layers import dropout_disabled
+
     ctx = jax.enable_x64() if x64 else contextlib.nullcontext()
-    with ctx:
-        _run_trajectory(name, x64, loss_tol, delta_tol)
+    dctx = dropout_disabled() if neutralize else contextlib.nullcontext()
+    with ctx, dctx:
+        _run_trajectory(name, x64, loss_tol, delta_tol, neutralize)
 
 
-def _run_trajectory(name, x64, loss_tol, delta_tol):
+def _run_trajectory(name, x64, loss_tol, delta_tol, neutralize=False):
     ref_dice, tm, fm, template, v0 = _setup(name)
     if x64:
         tm = tm.double()
@@ -125,7 +164,14 @@ def _run_trajectory(name, x64, loss_tol, delta_tol):
     p0 = jax.tree.map(np.array, v0["params"])
 
     tm.train()
-    crit = torch.nn.BCEWithLogitsLoss()
+    if neutralize:
+        from .test_reference_import_parity import neutralize_torch_dropout
+
+        assert neutralize_torch_dropout(tm) > 0
+    # criterion selection mirrors train.py:124 (n_classes > 1 -> CE)
+    n_classes = int(tm.n_classes)
+    crit = (torch.nn.CrossEntropyLoss() if n_classes > 1
+            else torch.nn.BCEWithLogitsLoss())
     # reference optimizer config, train.py:107-112 (lr from argparse default)
     opt = torch.optim.RMSprop(tm.parameters(), lr=LR, weight_decay=1e-8,
                               momentum=0.999, foreach=False)
@@ -134,7 +180,7 @@ def _run_trajectory(name, x64, loss_tol, delta_tol):
     state = TrainState(params=v0["params"], batch_stats=v0["batch_stats"],
                        opt_state=tx.init(v0["params"]),
                        step=jnp.zeros((), jnp.int32))
-    step_fn = jax.jit(make_batch_step_fn(fm, tx, n_classes=1))
+    step_fn = jax.jit(make_batch_step_fn(fm, tx, n_classes=n_classes))
 
     rng = np.random.RandomState(3)
     fdt = np.float64 if x64 else np.float32
