@@ -181,6 +181,21 @@ def build_fractal_sample_maps(masks: np.ndarray, patch_size: int,
     1 -> top-decile |gradient| of the mask (branch points); 2+ -> mask>0.3.
     Falls back to mask>0.1 when a level has no valid in-bounds centers.
     Returns (patch_sizes, maps) where maps[i] is an int32 (K_i, 3) array.
+
+    DELIBERATE DIVERGENCE from the *executed* reference: train-demo.py
+    passes masks as (N, 1, H, W), so its ``np.where(masks_data > 0.7)``
+    at levels 0 and 2 returns FOUR index arrays whose ``[1]`` is the
+    all-zero channel axis — the in-bounds filter (half_patch > 0) then
+    discards every candidate and those levels silently contribute nothing
+    (train-demo.py:100, 108, 111-124; pinned by
+    tests/test_fractal.py::TestExecutedReferenceSampling).  Only level 1
+    (which ``.squeeze()``s first, line 103) ever produces patches, and the
+    batch is topped up with random duplicates of them.  We implement the
+    documented three-level intent with correct axes; the live level-1 path
+    is pinned patch-exact against the executed reference.  The reference
+    also swaps H/W in its bounds checks (sample_map[1] vs ``width``,
+    line 111-116) — harmless on square inputs, another symptom of the
+    same axis confusion, not reproduced.
     """
     n, h, w = masks.shape
     scale_factors = [1 / (1.5 ** i) for i in range(fractal_levels)]
@@ -234,10 +249,11 @@ def fractal_sample_batch(
     """Draw one fractal multi-scale batch fully on device.
 
     For each level: uniform random centers from its candidate map, a
-    static-shape patch gather at the level's native size, then bilinear
-    (images) / nearest (targets) resize to ``out_patch`` — the on-device
-    equivalent of the reference's scipy.zoom order=1/order=0 calls
-    (train-demo.py:163-174).
+    static-shape patch gather at the level's native size, then an
+    align-corners linear (images) / nearest (targets) resize to
+    ``out_patch`` — numerically IDENTICAL grids to the reference's
+    scipy.zoom order=1/order=0 calls (train-demo.py:163-174; pinned by
+    tests/test_fractal.py against the executed reference).
     """
     imgs_out, tgts_out = [], []
     keys = jax.random.split(key, len(level_maps))
@@ -246,15 +262,20 @@ def fractal_sample_batch(
             continue
         idx = jax.random.randint(lk, (cnt,), 0, lmap.shape[0])
         centers = jnp.take(lmap, idx, axis=0)
+        # The reference slices [center-half, center+half) on both axes
+        # (train-demo.py:152-161), so an ODD level patch size extracts an
+        # EVEN 2*(ps//2) window which is then zoomed — mirror that.
+        ps = 2 * (ps // 2)
         ip = extract_patches(images, centers, ps)
         tp = extract_patches(targets, centers, ps)
         if ps != out_patch:
-            ip = jax.image.resize(
-                ip, (cnt, out_patch, out_patch, ip.shape[-1]), "linear"
+            from jcfszxc_unet_tpu.ops.layers import (
+                resize_linear_align_corners,
+                resize_nearest_align_corners,
             )
-            tp = jax.image.resize(
-                tp, (cnt, out_patch, out_patch, tp.shape[-1]), "nearest"
-            )
+
+            ip = resize_linear_align_corners(ip, out_patch, out_patch)
+            tp = resize_nearest_align_corners(tp, out_patch, out_patch)
         imgs_out.append(ip)
         tgts_out.append(tp)
     return jnp.concatenate(imgs_out, axis=0), jnp.concatenate(tgts_out, axis=0)

@@ -128,6 +128,51 @@ def load_reference_models():
     return dict(_cache)
 
 
+def load_reference_train_demo():
+    """Import the reference's train-demo.py (the fractal trainer) as a
+    module and return it.  Its module-level imports (data_loading,
+    utils.dice_score, utils.utils, UNetFamily) are satisfied from the
+    reference tree under temporarily-swapped sys.modules entries, exactly
+    like :func:`load_reference_models`."""
+    if "_train_demo" in _cache:
+        return _cache["_train_demo"]
+    load_reference_models()  # installs stubs + caches UNetFamily modules
+
+    names = (["UNetFamily", "UNetFamily.utils",
+              "UNetFamily.utils.unet_parts", "data_loading",
+              "utils", "utils.dice_score", "utils.utils"]
+             + [f"UNetFamily.{m}" for m in _MODEL_FILES])
+    saved = {n: sys.modules.get(n) for n in names}
+    try:
+        pkg = types.ModuleType("UNetFamily")
+        pkg.__path__ = [os.path.join(REFERENCE_ROOT, "UNetFamily")]
+        sys.modules["UNetFamily"] = pkg
+        sys.modules["UNetFamily.utils"] = types.ModuleType("UNetFamily.utils")
+        sys.modules["UNetFamily.utils.unet_parts"] = _cache["_unet_parts"]
+        for m in _MODEL_FILES:
+            sys.modules[f"UNetFamily.{m}"] = _cache[m]
+            setattr(pkg, m, _cache[m])
+        upkg = types.ModuleType("utils")
+        upkg.__path__ = [os.path.join(REFERENCE_ROOT, "utils")]
+        sys.modules["utils"] = upkg
+        _load_module("utils.dice_score",
+                     os.path.join(REFERENCE_ROOT, "utils", "dice_score.py"))
+        _load_module("utils.utils",
+                     os.path.join(REFERENCE_ROOT, "utils", "utils.py"))
+        _load_module("data_loading",
+                     os.path.join(REFERENCE_ROOT, "data_loading.py"))
+        _cache["_train_demo"] = _load_module(
+            "ref_train_demo", os.path.join(REFERENCE_ROOT, "train-demo.py"))
+    finally:
+        sys.modules.pop("ref_train_demo", None)
+        for n, mod in saved.items():
+            if mod is None:
+                sys.modules.pop(n, None)
+            else:
+                sys.modules[n] = mod
+    return _cache["_train_demo"]
+
+
 class reference_modules_registered:
     """Context manager that temporarily registers the loaded reference
     modules under their canonical ``UNetFamily.*`` names in sys.modules —

@@ -153,3 +153,194 @@ class TestFractalEngine:
         assert os.path.exists(tmp_path / "best.ckpt")
         extra = ckpt.load_extra(str(tmp_path / "bundle.ckpt"))
         assert "extractor_params" in extra and "opt_state" in extra
+
+
+# ================== executed-reference (torch) oracle ====================
+# The tests above pin our math against *re-implementations* of the
+# reference formulas; the classes below execute the reference's actual
+# train-demo.py (loaded via tests/reference_oracle.py) and compare.
+
+import pytest
+
+from . import reference_oracle
+
+_ref_mark = pytest.mark.skipif(
+    not reference_oracle.reference_available(),
+    reason="reference tree not present",
+)
+
+
+@_ref_mark
+class TestFractalLossTorchOracle:
+    """FractalLoss as instantiated by the reference (alpha=0.3 beta=0.3
+    gamma=0.4, train-demo.py:488), executed on identical inputs.
+
+    With batch <= fractal sample size (4) the reference's
+    torch.randperm(b)[:4] covers EVERY sample, so the fractal term is a
+    full mean and the comparison is RNG-free."""
+
+    def _oracle(self):
+        m = reference_oracle.load_reference_train_demo()
+        return m.FractalLoss(alpha=0.3, beta=0.3, gamma=0.4)
+
+    def test_composite_loss_matches_executed_reference(self):
+        import torch
+
+        fl = self._oracle()
+        rng = np.random.RandomState(0)
+        logits = rng.randn(4, 32, 32, 1).astype(np.float32) * 2.0
+        target = (rng.rand(4, 32, 32, 1) > 0.6).astype(np.float32)
+
+        want = fl(torch.from_numpy(logits).permute(0, 3, 1, 2),
+                  torch.from_numpy(target).permute(0, 3, 1, 2))
+        got = F.fractal_loss(jnp.asarray(logits), jnp.asarray(target),
+                             jax.random.PRNGKey(0))
+        np.testing.assert_allclose(float(got), float(want),
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_box_dimension_matches_executed_reference(self):
+        fl = self._oracle()
+        rng = np.random.RandomState(1)
+        cases = [
+            (rng.rand(32, 32) > 0.7).astype(np.float32),
+            (rng.rand(40, 28) > 0.95).astype(np.float32),  # non-square,
+            # non-power-of-two: exercises the ceil partial-box counting
+            np.zeros((24, 24), np.float32),                # empty -> 0.0
+            np.ones((17, 19), np.float32),
+        ]
+        for mask in cases:
+            want = fl.box_dimension(mask)
+            got = float(F.box_dimension(jnp.asarray(mask)))
+            np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+@_ref_mark
+class TestExecutedReferenceSampling:
+    """Pin the *executed* behavior of reference fractal_sampling
+    (train-demo.py:56-190) — which differs from its docstring: masks
+    arrive as (N, 1, H, W) (train-demo.py:493), so levels 0 and 2's
+    np.where returns a 4-tuple whose [1] is the all-zero CHANNEL axis,
+    the in-bounds filter discards every candidate, and those levels
+    contribute NOTHING.  Only level 1 (.squeeze() first, line 103) makes
+    patches; the batch is filled with random duplicates of them."""
+
+    PATCH, B = 32, 8
+
+    def _pools(self):
+        # Sparse vessel-like masks: the executed reference needs
+        # percentile90(|grad|) < max(|grad|) at level 1 or it produces
+        # ZERO patches (see test_reference_crashes_on_dense_masks).
+        rng = np.random.RandomState(7)
+        images = rng.rand(2, 3, 64, 64).astype(np.float32)
+        masks = (rng.rand(2, 1, 64, 64) > 0.9).astype(np.float32)
+        return images, masks
+
+    def test_reference_crashes_on_dense_masks(self):
+        """Executed-truth pin: on a DENSE mask pool every level of the
+        reference sampler dies (levels 0/2 from the channel-axis bug;
+        level 1 because |grad| > percentile90 is empty when the 90th
+        percentile IS the max) and the duplicate-fill loop raises
+        randint(0, 0).  Our sampler handles the same pool via its
+        interior-pixel fallback."""
+        ref = reference_oracle.load_reference_train_demo()
+        rng = np.random.RandomState(11)
+        images = rng.rand(2, 3, 64, 64).astype(np.float32)
+        dense = (rng.rand(2, 1, 64, 64) > 0.5).astype(np.float32)
+        np.random.seed(0)
+        with pytest.raises(ValueError):
+            ref.fractal_sampling(images, dense, self.PATCH, self.B,
+                                 fractal_levels=3)
+        _, maps = F.build_fractal_sample_maps(dense[:, 0], self.PATCH, 3)
+        assert all(len(m) > 0 for m in maps)
+
+    def test_only_level1_contributes_and_patches_match_ours(self):
+        ref = reference_oracle.load_reference_train_demo()
+        images, masks = self._pools()
+
+        np.random.seed(123)
+        b_imgs, b_masks = ref.fractal_sampling(
+            images, masks, self.PATCH, self.B, fractal_levels=3)
+        assert b_imgs.shape == (self.B, 3, self.PATCH, self.PATCH)
+
+        # Executed truth: level 1 yields B//2 = 4 unique draws; the fill
+        # loop duplicates them.  Reproduce the np.random stream: one
+        # randint array for level 1's centers, then one scalar per fill.
+        n_l1 = self.B // 2
+        _, our_maps = F.build_fractal_sample_maps(
+            masks[:, 0], self.PATCH, fractal_levels=3)
+        l1_map = np.asarray(our_maps[1])
+        np.random.seed(123)
+        draws = np.random.randint(0, len(l1_map), n_l1)
+        fills = [np.random.randint(0, n_l1 + k) for k in range(self.B - n_l1)]
+
+        # Our candidate map must cover the same centers the reference drew
+        # (same np.where row-major order for the shared level-1 selector).
+        centers = l1_map[draws]
+
+        # Patch-exact comparison: native-size gather + align-corners
+        # resizes == the reference's scipy.zoom order=1/order=0 calls.
+        from jcfszxc_unet_tpu.data.sampler import extract_patches
+        from jcfszxc_unet_tpu.ops.layers import (
+            resize_linear_align_corners,
+            resize_nearest_align_corners,
+        )
+
+        # Odd level-1 patch size (21): the reference slices
+        # [c-half, c+half) -> an even 2*half = 20 px window, then zooms.
+        ps_l1 = 2 * (max(int(self.PATCH / 1.5), 16) // 2)
+        imgs_nhwc = jnp.asarray(images.transpose(0, 2, 3, 1))
+        masks_nhwc = jnp.asarray(masks.transpose(0, 2, 3, 1))
+        ip = extract_patches(imgs_nhwc, jnp.asarray(centers), ps_l1)
+        tp = extract_patches(masks_nhwc, jnp.asarray(centers), ps_l1)
+        ip = resize_linear_align_corners(ip, self.PATCH, self.PATCH)
+        tp = resize_nearest_align_corners(tp, self.PATCH, self.PATCH)
+
+        got_imgs = np.moveaxis(np.asarray(ip), -1, 1)
+        got_masks = np.moveaxis(np.asarray(tp), -1, 1)
+        want_imgs = b_imgs.numpy()
+        want_masks = b_masks.numpy()
+        np.testing.assert_allclose(got_imgs, want_imgs[:n_l1],
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(got_masks, want_masks[:n_l1],
+                                   rtol=1e-5, atol=1e-6)
+        # Fill entries are exact duplicates chosen by the same RNG stream.
+        for k, src in enumerate(fills):
+            np.testing.assert_array_equal(want_imgs[n_l1 + k],
+                                          want_imgs[src])
+
+    def test_level_counts_match_reference_distribution(self):
+        # sample_distribution math, train-demo.py:86-89 (executed values).
+        for b in [8, 12, 32, 7]:
+            dist = [int(b * (1 / 2) ** i) for i in range(3)]
+            dist[0] += b - sum(dist)
+            assert F.level_sample_counts(b, 3) == dist
+
+    def test_resize_grids_match_scipy_zoom(self):
+        """Our align-corners resizes == scipy.ndimage.zoom order=1/0 on
+        the exact level-1 geometry (21 -> 32) and an uneven case."""
+        from scipy.ndimage import zoom
+
+        from jcfszxc_unet_tpu.ops.layers import (
+            resize_linear_align_corners,
+            resize_nearest_align_corners,
+        )
+
+        rng = np.random.RandomState(3)
+        for in_hw, out_hw in [((21, 21), (32, 32)), ((14, 10), (31, 17))]:
+            x = rng.rand(1, *in_hw, 2).astype(np.float32)
+            want = np.stack([
+                zoom(x[0, :, :, c],
+                     (out_hw[0] / in_hw[0], out_hw[1] / in_hw[1]), order=1)
+                for c in range(2)], -1)
+            got = np.asarray(resize_linear_align_corners(
+                jnp.asarray(x), *out_hw))[0]
+            np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+            xb = (x > 0.5).astype(np.float32)
+            want0 = np.stack([
+                zoom(xb[0, :, :, c],
+                     (out_hw[0] / in_hw[0], out_hw[1] / in_hw[1]), order=0)
+                for c in range(2)], -1)
+            got0 = np.asarray(resize_nearest_align_corners(
+                jnp.asarray(xb), *out_hw))[0]
+            np.testing.assert_array_equal(got0, want0)
