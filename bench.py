@@ -39,6 +39,15 @@ BATCH = int(os.environ.get("BENCH_BATCH", "256"))
 PATCH = 128
 N_LONG = 21
 
+# Training half of the workload (train.py:47-416 is the reference's primary
+# loop): the PRODUCTION train step — on-device patch sampling + fwd/bwd +
+# RMSprop + NaN guard — at the batch-128 operating point the round-2 sweep
+# found optimal (experiments_record.md), timed by the same loop-in-jit
+# difference methodology (an epoch of N chained steps in one lax.scan).
+TRAIN_BATCH = int(os.environ.get("BENCH_TRAIN_BATCH", "128"))
+TRAIN_N_LONG = 6
+PEAK_TFLOPS = 394.0
+
 
 def main():
     import jax
@@ -102,7 +111,74 @@ def main():
     }
     if mfu is not None:
         result["mfu_pct"] = mfu
+
+    try:
+        tpps, tmfu = train_bench(jax, jnp)
+        result["train_patches_per_sec"] = round(tpps, 1)
+        if tmfu is not None:
+            result["train_mfu_pct"] = round(tmfu, 1)
+    except Exception:
+        pass  # the headline inference line must survive a train-bench fault
     print(json.dumps(result))
+
+
+def train_bench(jax, jnp):
+    """UNet production-train-step throughput (patches/s) + MFU, batch 128."""
+    from jcfszxc_unet_tpu.data.sampler import build_train_sample_map
+    from jcfszxc_unet_tpu.models import create_model
+    from jcfszxc_unet_tpu.train.optim import make_optimizer
+    from jcfszxc_unet_tpu.train.state import create_train_state
+    from jcfszxc_unet_tpu.train.trainer import make_epoch_fn
+
+    rng = np.random.RandomState(0)
+    pool_hw = 256
+    images = jnp.asarray(rng.rand(2, pool_hw, pool_hw, 3), jnp.float32)
+    labels = jnp.asarray((rng.rand(2, pool_hw, pool_hw, 1) > 0.8), jnp.float32)
+    smap = jnp.asarray(build_train_sample_map(
+        np.ones((2, pool_hw, pool_hw), np.float32), PATCH // 2))
+
+    model = create_model("UNet.UNet", dtype=jnp.bfloat16)
+    tx = make_optimizer(1e-4)
+    state = create_train_state(model, tx, jax.random.PRNGKey(0),
+                               jnp.zeros((1, PATCH, PATCH, 3), jnp.bfloat16))
+
+    def make(steps):
+        return make_epoch_fn(model, tx, n_classes=model.n_classes,
+                             batch_size=TRAIN_BATCH, patch_size=PATCH,
+                             steps=steps, compute_dtype=jnp.bfloat16)
+
+    e1, eN = make(1), make(TRAIN_N_LONG)
+    key = jax.random.PRNGKey(1)
+
+    flops = None
+    try:
+        ca = e1.lower(state, images, labels, smap, key).compile().cost_analysis()
+        if isinstance(ca, list):
+            ca = ca[0]
+        flops = float(ca.get("flops", 0.0)) or None
+    except Exception:
+        pass
+
+    # epoch_fn donates the state: each timed call gets a fresh on-device
+    # copy made by ONE jitted program (eager per-leaf copies cost seconds
+    # through this image's async relay).
+    copy_state = jax.jit(lambda s: jax.tree.map(lambda a: a + 0, s))
+
+    def run(fn):
+        _, m = fn(copy_state(state), images, labels, smap, key)
+        return float(m["epoch_loss"])
+
+    run(e1)
+    run(eN)  # compile both
+    t0 = time.perf_counter()
+    run(e1)
+    t1 = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    run(eN)
+    t2 = time.perf_counter() - t0
+    per = (t2 - t1) / (TRAIN_N_LONG - 1)
+    mfu = flops / per / (PEAK_TFLOPS * 1e12) * 100.0 if flops else None
+    return TRAIN_BATCH / per, mfu
 
 
 if __name__ == "__main__":

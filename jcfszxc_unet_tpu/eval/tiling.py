@@ -38,8 +38,10 @@ def stitch_patches(
     (:func:`stitch_patches_scatter`) takes **466 ms** — a TPU scatter with
     21M duplicate indices serializes badly, while 80 dependent
     dynamic-update-slices are each one fat contiguous HBM op.  The scatter
-    variant is kept below as the mesh-shardable reference formulation and
-    tested for equivalence.
+    variant is kept below as the mesh-shardable formulation: it is pinned
+    equivalent AND executed with its patch axis actually sharded over the
+    8-device test mesh (tests/test_tiling.py
+    test_scatter_variant_executes_sharded_on_mesh).
     """
     patch = probs.shape[1]
     half = patch // 2
@@ -74,8 +76,9 @@ def stitch_patches_scatter(
     """One flat scatter-add over all B*P*P pixels — the segment-sum
     formulation (SURVEY.md §2.5 item 2).  280x slower than
     :func:`stitch_patches` on the v5e (see its docstring); kept as the
-    formulation that shards over a mesh, and pinned equivalent by
-    tests/test_tiling.py."""
+    formulation that shards over a mesh — pinned equivalent and run with
+    the patch axis 8-way sharded (GSPMD per-shard scatter + canvas
+    all-reduce) by tests/test_tiling.py."""
     b, patch, _ = probs.shape
     half = patch // 2
     ii = jnp.arange(patch, dtype=jnp.int32)

@@ -270,3 +270,46 @@ class TestSpatialPartitioning:
 
         assert got.shape == (2, 40, 48)
         np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+    def _check_spatial(self, name, h, w, divisor, n_mesh=2, tol=1e-5,
+                       **kwargs):
+        """Spatial partitioning vs a single-device oracle with identical
+        padding, for models whose dataflow stresses GSPMD differently."""
+        from jcfszxc_unet_tpu.parallel.spatial import (
+            make_spatial_forward,
+            pad_to_multiple,
+        )
+
+        model = create_model(name, **kwargs)
+        rng = np.random.RandomState(4)
+        images = jnp.asarray(rng.rand(1, h, w, 3), jnp.float32)
+        v = jax.jit(lambda r, x: model.init(r, x, True))(
+            jax.random.PRNGKey(1),
+            jnp.zeros((1, divisor, divisor, 3)))
+        variables = {"params": v["params"],
+                     "batch_stats": v.get("batch_stats", {})}
+
+        mesh = make_mesh(n_mesh)
+        fwd_sp = make_spatial_forward(model, variables, mesh,
+                                      divisor=divisor)
+        got = np.asarray(fwd_sp(images))
+
+        x, _ = pad_to_multiple(images, 1, n_mesh * divisor)
+        x, _ = pad_to_multiple(x, 2, divisor)
+        want = jax.nn.sigmoid(
+            model.apply(variables, x, train=False).astype(jnp.float32))
+        want = np.asarray(want)[:, :h, :w, 0]
+        assert got.shape == (1, h, w)
+        np.testing.assert_allclose(got, want, rtol=tol, atol=1e-5)
+
+    def test_spatial_segnet_divisor32(self):
+        """SegNet under SP: 5 pooling levels demand H,W % 32 == 0 after
+        padding, and the argmax pool/unpool index routing must survive
+        spatial partitioning (window-local argmax never crosses the halo)."""
+        self._check_spatial("SegNet.SegNet", h=40, w=64, divisor=32)
+
+    def test_spatial_frunet_grid(self):
+        """FRUNet under SP: the 17-node full-resolution grid exchanges
+        up/down branches at every scale — the densest halo-exchange
+        pattern in the zoo."""
+        self._check_spatial("FRUNet.FRUNet", h=24, w=32, divisor=16)

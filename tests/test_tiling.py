@@ -157,3 +157,35 @@ class TestStitchScatterOracle:
         b = np.asarray(stitch_patches_scatter(jnp.asarray(probs),
                                               jnp.asarray(centers), N, H, W))
         np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-6)
+
+    def test_scatter_variant_executes_sharded_on_mesh(self):
+        """The scatter formulation's whole point is that it shards: run it
+        with the patch axis actually split over the 8-device mesh (GSPMD
+        scatters each shard's patches locally and all-reduces the canvas)
+        and require single-device numbers."""
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as PS
+
+        from jcfszxc_unet_tpu.eval.tiling import stitch_patches_scatter
+        from jcfszxc_unet_tpu.parallel.mesh import make_mesh
+
+        rng = np.random.RandomState(5)
+        N, H, W, P = 2, 24, 20, 8
+        half = P // 2
+        centers = np.array(
+            [(rng.randint(0, N), rng.randint(half, H - half + 1),
+              rng.randint(half, W - half + 1)) for _ in range(24)], np.int32)
+        probs = rng.rand(len(centers), P, P).astype(np.float32)
+
+        mesh = make_mesh(8)
+        probs_s = jax.device_put(
+            jnp.asarray(probs), NamedSharding(mesh, PS("data", None, None)))
+        centers_s = jax.device_put(
+            jnp.asarray(centers), NamedSharding(mesh, PS("data", None)))
+        assert len(probs_s.sharding.device_set) == 8  # really 8-way split
+
+        got = stitch_patches_scatter(probs_s, centers_s, N, H, W)
+        want = np.asarray(stitch_patches(jnp.asarray(probs),
+                                         jnp.asarray(centers), N, H, W))
+        np.testing.assert_allclose(np.asarray(got), want,
+                                   rtol=1e-6, atol=1e-6)
