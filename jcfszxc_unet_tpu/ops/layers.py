@@ -199,6 +199,18 @@ class ConvTranspose2d(nn.Module):
 # flipped by scripts/tpu_bn_train_fastpath.py.
 TRAIN_BN_FAST_APPLY = False
 
+# Trace-time switch: compute the train-mode batch variance in ONE pass
+# (E[x^2]-E[x]^2, clamped at 0) instead of two (E[(x-mean)^2]).  The
+# two reductions over the same input fuse into a single HBM traversal,
+# which matters on the narrow-channel lane-padded tensors that dominate
+# the zoo's training slow tail (round-3 attribution: -20% fwd+bwd on the
+# Multiresblock-9 composite in isolation).  Statistics stay in
+# stat_dtype (>= f32), where the cancellation error for BN-scale
+# activations (|mean| ~ std) is ~1e-6 relative — the trajectory-parity
+# suite passes at unchanged tolerances either way.  The two-pass form
+# remains available for exact-reproducibility studies.
+TRAIN_BN_ONE_PASS_STATS = True
+
 
 class _TorchBatchNorm(nn.Module):
     """Torch-exact batch norm over the last axis of an (..., C) tensor.
@@ -250,11 +262,17 @@ class _TorchBatchNorm(nn.Module):
         else:
             xf = x.astype(stat_dtype)
             mean = jnp.mean(xf, axis=reduce_axes)
-            # Two-pass variance (not E[x^2]-E[x]^2, which cancels
-            # catastrophically when |mean| >> std and visibly degrades
-            # gradients vs torch).
-            var = jnp.mean(jnp.square(xf - mean.reshape(shape)),
-                           axis=reduce_axes)
+            if TRAIN_BN_ONE_PASS_STATS:
+                # One fused traversal: XLA computes sum(x) and sum(x^2)
+                # in the same pass.  Clamp guards the E[x^2]-E[x]^2
+                # subtraction against tiny negative results.
+                mean2 = jnp.mean(jnp.square(xf), axis=reduce_axes)
+                var = jnp.maximum(mean2 - jnp.square(mean), 0.0)
+            else:
+                # Two-pass variance: exact even when |mean| >> std
+                # (E[x^2]-E[x]^2 cancels catastrophically there).
+                var = jnp.mean(jnp.square(xf - mean.reshape(shape)),
+                               axis=reduce_axes)
             if not self.is_initializing():
                 n = x.size // c
                 bessel = n / max(n - 1, 1)

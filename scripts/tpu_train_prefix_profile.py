@@ -41,6 +41,16 @@ STAGES = {
         "multiresblock4", "multiresblock5", "multiresblock6",
         "multiresblock7", "multiresblock8", "multiresblock9", "conv_final",
     ],
+    # Variant with the skip-path Respath chains attributed separately:
+    # each respath is placed right after its source block, so the m8/m9
+    # deltas no longer swallow respath2/respath1 (4 resp. units of
+    # full/half-res narrow convs + 2 train BNs each).
+    "MultiResUNet.MultiResUNet+respath": [
+        "multiresblock1", "respath1", "multiresblock2", "respath2",
+        "multiresblock3", "respath3", "multiresblock4", "respath4",
+        "multiresblock5", "multiresblock6", "multiresblock7",
+        "multiresblock8", "multiresblock9", "conv_final",
+    ],
     "MCUNet.MCUNet": [
         "in_conv", "cbam1", "down1", "cbam2", "down2", "cbam3", "down3",
         "cbam4", "down4", "up1", "up2", "up3", "up4", "out_conv",
@@ -62,9 +72,13 @@ def main():
     import jax.numpy as jnp
 
     from jcfszxc_unet_tpu.models import create_model
+    from jcfszxc_unet_tpu.utils.cache import enable_persistent_compile_cache
+
+    enable_persistent_compile_cache()
 
     name = os.environ.get("PROFILE_MODEL", "UNetPP.NestedUNet")
     stages = STAGES[name]
+    name = name.split("+")[0]  # stage-list variants share the model
     dt = jnp.bfloat16
     kwargs = {"N": PATCH} if name.startswith("BCDUNet.") else {}
     model = create_model(name, dtype=dt, **kwargs)
@@ -74,6 +88,7 @@ def main():
     )(jax.random.PRNGKey(0))
     params = variables["params"]
     stats = variables.get("batch_stats", {})
+    print("init done", flush=True)
 
     def node_mean(tree, path):
         node = tree["intermediates"]
@@ -84,11 +99,15 @@ def main():
 
     def make_prefix_grad(k):
         wanted = stages[: k + 1]
+        wset = set(wanted)
+        # Filtered capture: sow only the stage outputs we read (capturing
+        # every submodule costs real sow/traffic through the relay).
+        filt = lambda mdl, method: mdl.name in wset
 
         def loss(params, x):
             _, tree = model.apply(
                 {"params": params, "batch_stats": stats}, x, train=True,
-                capture_intermediates=True,
+                capture_intermediates=filt,
                 mutable=["intermediates", "batch_stats"])
             return sum(node_mean(tree, p) for p in wanted)
 
@@ -109,17 +128,21 @@ def main():
                 return jax.lax.fori_loop(0, n, body, jnp.float32(0))
             return run
 
-        r1, rN = make(1), make(N_LONG)
+        # AOT-compile r1 once and reuse the SAME executable for both cost
+        # analysis and execution (a separate .lower().compile() would pay
+        # a third remote compile per prefix).
+        r1c = make(1).lower(params, x).compile()
+        rN = make(N_LONG)
         flops = None
         try:
-            ca = r1.lower(params, x).compile().cost_analysis()
+            ca = r1c.cost_analysis()
             if isinstance(ca, list):
                 ca = ca[0]
             flops = float(ca.get("flops", 0.0)) or None
         except Exception:
             pass
-        float(r1(params, x)); float(rN(params, x))
-        t0 = time.perf_counter(); float(r1(params, x))
+        float(r1c(params, x)); float(rN(params, x))
+        t0 = time.perf_counter(); float(r1c(params, x))
         t1 = time.perf_counter() - t0
         t0 = time.perf_counter(); float(rN(params, x))
         tN = time.perf_counter() - t0
