@@ -35,7 +35,12 @@ from jcfszxc_unet_tpu.train.optim import (
     set_current_lr,
 )
 from jcfszxc_unet_tpu.train.state import create_train_state
-from jcfszxc_unet_tpu.train.trainer import build_val_patches, make_epoch_fn, make_val_fn
+from jcfszxc_unet_tpu.train.trainer import (
+    build_val_patches,
+    make_epoch_fn,
+    make_precise_bn_fn,
+    make_val_fn,
+)
 from jcfszxc_unet_tpu.utils.profiling import Throughput
 from jcfszxc_unet_tpu.utils.seed import set_seed
 from jcfszxc_unet_tpu.utils.vis import save_triptych
@@ -66,6 +71,7 @@ def train_model(
     latest_path: str | None = None,
     resume_from: str | None = None,
     async_checkpoints: bool = True,
+    precise_bn: int = 0,
 ):
     """Run the reference training protocol end-to-end; returns best dice.
 
@@ -142,6 +148,10 @@ def train_model(
     )
     val_fn = make_val_fn(model, patch_size=patch_size,
                          compute_dtype=compute_dtype, mesh=mesh)
+    precise_bn_fn = make_precise_bn_fn(
+        model, batch_size=batch_size, patch_size=patch_size,
+        k_batches=precise_bn, compute_dtype=compute_dtype, mesh=mesh,
+    ) if precise_bn else None
     scheduler = ReduceLROnPlateau(factor=0.7, patience=5, threshold=0.01, cooldown=2)
 
     best_dice = 0.0
@@ -234,6 +244,14 @@ def train_model(
             state, train_metrics = epoch_fn(
                 state, train_images, train_labels, train_map_dev, epoch_key
             )
+            if precise_bn_fn is not None:
+                # Recalibrate BN running stats before validation/checkpoint
+                # (additive --precise-bn; see make_precise_bn_fn).
+                data_key, pb_key = jax.random.split(data_key)
+                state = state.replace(batch_stats=precise_bn_fn(
+                    state.params, state.batch_stats,
+                    train_images, train_labels, train_map_dev, pb_key,
+                ))
             metrics, probs = val_fn(state.params, state.batch_stats, val_imgs, val_labs)
             # single host sync point per epoch
             epoch_loss = float(train_metrics["epoch_loss"])
@@ -364,6 +382,15 @@ def get_args(argv=None):
     parser.add_argument("--resume", type=str, default=None,
                         help="Exact-resume from a --latest-path checkpoint "
                              "(implies loading its params too)")
+    parser.add_argument("--precise-bn", type=int, default=0, metavar="K",
+                        help="Additive (off by default, not in the "
+                             "reference): after each epoch, re-estimate BN "
+                             "running statistics as the mean of pure batch "
+                             "statistics over K fresh training batches. "
+                             "Fixes the eval-mode logit saturation that BN "
+                             "EMA lag causes on some models (SegNet, "
+                             "MultiResUNet) at learning rates >> the "
+                             "reference's 1e-6")
     parser.add_argument("--sync-checkpoints", action="store_true",
                         help="Block training on each checkpoint write. "
                              "Default (async) overlaps writes with the next "
@@ -430,6 +457,7 @@ def main(argv=None):
         latest_path=args.latest_path,
         resume_from=args.resume,
         async_checkpoints=not args.sync_checkpoints,
+        precise_bn=args.precise_bn,
     )
 
 

@@ -155,6 +155,72 @@ def make_epoch_fn(
     return epoch_fn
 
 
+def make_precise_bn_fn(
+    model,
+    *,
+    batch_size: int,
+    patch_size: int,
+    k_batches: int,
+    compute_dtype=jnp.float32,
+    mesh=None,
+    momentum: float = 0.1,
+) -> Callable:
+    """Build a jitted BN-recalibration pass ("precise BN"): re-estimate the
+    BN running statistics as the arithmetic mean of PURE per-batch
+    statistics over ``k_batches`` freshly sampled training batches.
+
+    Why: at production learning rates the EMA running stats (torch
+    momentum 0.1) lag the activation drift badly enough in some zoo
+    models that eval-mode logits saturate while train-mode learns —
+    measured on SegNet and MultiResUNet, and reproduced with the
+    reference's own torch modules (experiments_record.md round 3,
+    scripts/torch_bn_lag.py).  This is the standard fix; it is an
+    ADDITIVE capability (CLI ``--precise-bn K``), off by default so the
+    reference's exact EMA semantics stay the parity behavior.
+
+    Mechanism: every train-mode forward applies
+    ``running <- (1-m)*base + m*batch`` per BN (torch convention; m=0.1
+    for every BN in the zoo).  Running all K forwards from the SAME base
+    tree and averaging the K updated trees S_i gives
+    ``mean_i S_i = (1-m)*base + m*mean_i B_i``, so the mean of the pure
+    batch statistics is recovered exactly:
+    ``(mean_i S_i - (1-m)*base) / m``.
+
+    Returns fn(params, batch_stats, images, labels, sample_map, key)
+    -> new batch_stats.
+    """
+
+    @jax.jit
+    def precise_bn_fn(params, batch_stats, images, labels, sample_map, key):
+        if not jax.tree_util.tree_leaves(batch_stats):
+            return batch_stats  # no BN layers — nothing to recalibrate
+
+        def body(acc, k):
+            k_sample, k_drop = jax.random.split(k)
+            imgs, _ = sample_batch(
+                k_sample, images, labels, sample_map, batch_size, patch_size
+            )
+            imgs = _shard_batch(imgs.astype(compute_dtype), mesh)
+            _, mut = model.apply(
+                {"params": params, "batch_stats": batch_stats},
+                imgs, train=True, mutable=["batch_stats"],
+                rngs={"dropout": k_drop},
+            )
+            return jax.tree.map(jnp.add, acc, mut["batch_stats"]), None
+
+        zeros = jax.tree.map(jnp.zeros_like, batch_stats)
+        acc, _ = jax.lax.scan(
+            body, zeros, jax.random.split(key, k_batches)
+        )
+        m = momentum
+        return jax.tree.map(
+            lambda a, base: (a / k_batches - (1.0 - m) * base) / m,
+            acc, batch_stats,
+        )
+
+    return precise_bn_fn
+
+
 def make_val_fn(
     model,
     *,
