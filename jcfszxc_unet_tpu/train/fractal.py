@@ -437,11 +437,17 @@ def train_with_fractal_optimization(
         )
         # validation on (up to 200) whole images, FOV masks as truth
         n_val_samples = min(len(val_images_np), 200)
-        vidx = np.random.choice(len(val_images_np), n_val_samples, replace=False)
-        vi = jnp.asarray(val_images_np[vidx])
-        vm = jnp.asarray(val_masks_np[vidx])
-        dice, probs = val_fn(params, batch_stats, vi, vm)
-        dice = float(dice)
+        if n_val_samples:
+            vidx = np.random.choice(
+                len(val_images_np), n_val_samples, replace=False)
+            vi = jnp.asarray(val_images_np[vidx])
+            vm = jnp.asarray(val_masks_np[vidx])
+            dice, probs = val_fn(params, batch_stats, vi, vm)
+            dice = float(dice)
+        else:
+            # Empty validation split: report 0 like the train CLI's guard
+            # (the reference train-demo would crash on an empty np.stack).
+            dice, probs = 0.0, None
         epoch_loss = float(total)
 
         lr = get_current_lr(opt_state)

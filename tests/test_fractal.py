@@ -154,6 +154,39 @@ class TestFractalEngine:
         extra = ckpt.load_extra(str(tmp_path / "bundle.ckpt"))
         assert "extractor_params" in extra and "opt_state" in extra
 
+    def test_empty_validation_split_reports_zero(self, tmp_path, capsys):
+        """val_percent=0 leaves no validation images; the epoch must report
+        Dice 0 (train CLI's empty-val convention) instead of nan — the
+        reference train-demo would crash on an empty np.stack."""
+        import h5py
+
+        from jcfszxc_unet_tpu.models import create_model
+        from jcfszxc_unet_tpu.train.fractal import train_with_fractal_optimization
+
+        rng = np.random.RandomState(1)
+        n, h, w = 3, 64, 64
+        with h5py.File(tmp_path / "train.h5", "w") as f:
+            f.create_dataset("images", data=rng.rand(n, h, w, 3).astype(np.float32))
+            f.create_dataset("masks", data=(rng.rand(n, h, w) > 0.3).astype(np.float32))
+            f.create_dataset("labels", data=(rng.rand(n, h, w) > 0.8).astype(np.float32))
+            dt = h5py.special_dtype(vlen=str)
+            f.create_dataset("filenames", data=np.array([f"{i}.tif" for i in range(n)], dtype=dt))
+
+        model = create_model("RetinaLiteNet.TransFuseNet")
+        best = train_with_fractal_optimization(
+            model=model, model_name="RetinaLiteNet.TransFuseNet",
+            input_data=str(tmp_path / "train.h5"),
+            steps=2, batch_size=8, patch_size=32, learning_rate=1e-3,
+            val_percent=0.0, compute_dtype=jnp.float32, max_epochs=1,
+            visualize=False,
+            save_path=str(tmp_path / "best.ckpt"),
+            bundle_path=str(tmp_path / "bundle.ckpt"),
+        )
+        assert best == 0.0
+        out = capsys.readouterr().out
+        assert "nan" not in out
+        assert "Dice: 0" in out
+
 
 # ================== executed-reference (torch) oracle ====================
 # The tests above pin our math against *re-implementations* of the
