@@ -106,6 +106,19 @@ def test_precise_bn_is_independent_of_stale_base():
         )
 
 
+def test_no_bn_layers_is_identity():
+    """A model with an empty batch_stats tree passes through unchanged
+    (guard branch in make_precise_bn_fn)."""
+    model, variables, images, labels, smap = _setup()
+    fn = make_precise_bn_fn(
+        model, batch_size=BATCH, patch_size=PATCH, k_batches=K,
+    )
+    empty = {}
+    out = fn(variables["params"], empty, images, labels, smap,
+             jax.random.PRNGKey(0))
+    assert out == {}
+
+
 def test_cli_flag_smoke(tmp_path):
     """--precise-bn K runs end-to-end through the train CLI."""
     import h5py
