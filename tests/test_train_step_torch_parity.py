@@ -279,3 +279,74 @@ def test_gradients_match_torch():
             rel = float(np.linalg.norm(t - j)
                         / (np.linalg.norm(t) + 1e-30))
             assert rel < tol, (mode, jax.tree_util.keystr(pt), rel)
+
+
+def test_barunet_ba_module_backward_matches_torch():
+    """BA-module backward (BABasicBlock: channel+spatial attention fusion
+    over matmul poolings + SE shortcut, unet_parts.py:233-280) — the one
+    zoo mechanism the trajectory matrix above cannot host: BARUNet's
+    softmax over ONE output channel is constant 1.0, so the production
+    loss passes zero gradient to every parameter.  Pin the backward on a
+    BCE loss over the PRE-softmax head (Conv_1x1 output) instead, with
+    dropout neutralized on both sides (the BABasicBlock Dropout(0.5),
+    unet_parts.py:271), comparing the full parameter-gradient tree to the
+    executed reference in relative L2."""
+    from jcfszxc_unet_tpu.ops.layers import dropout_disabled
+    from jcfszxc_unet_tpu.train.losses import bce_with_logits
+
+    from .test_reference_import_parity import neutralize_torch_dropout
+
+    name = "BARUNet.BARUNet"
+    torch.manual_seed(5)
+    tm = reference_oracle.make_reference_model(name)
+    fm = create_model(name)
+    template = jax.eval_shape(
+        lambda: fm.init(jax.random.PRNGKey(0), jnp.zeros((1, SZ, SZ, 3)), True))
+    v0 = state_dict_to_variables(name, tm.state_dict(), template)
+
+    tm.train()
+    assert neutralize_torch_dropout(tm) > 0
+    captured = {}
+    tm.Conv_1x1.register_forward_hook(
+        lambda m, i, o: captured.__setitem__("head", o))
+
+    rng = np.random.RandomState(3)
+    x, y = _batch(rng)
+    xt = torch.from_numpy(x).permute(0, 3, 1, 2)
+    yt = torch.from_numpy(y).permute(0, 3, 1, 2)
+    tm(xt)
+    loss_t = torch.nn.BCEWithLogitsLoss()(captured["head"], yt)
+    loss_t.backward()
+
+    tgrads = {k: p.grad.detach().clone() for k, p in tm.named_parameters()
+              if p.grad is not None}
+    stats_sd = {k: v for k, v in tm.state_dict().items() if "running" in k}
+    gT = state_dict_to_variables(name, {**tgrads, **stats_sd},
+                                 template)["params"]
+
+    with dropout_disabled():
+        def loss_fn(params):
+            _, mut = fm.apply(
+                {"params": params, "batch_stats": v0["batch_stats"]},
+                jnp.asarray(x), True,
+                capture_intermediates=True,
+                mutable=["intermediates", "batch_stats"],
+                rngs={"dropout": jax.random.PRNGKey(0)},
+            )
+            pre = mut["intermediates"]["Conv_1x1"]["__call__"][0]
+            return bce_with_logits(pre, jnp.asarray(y))
+
+        loss_j, gJ = jax.value_and_grad(loss_fn)(v0["params"])
+
+    assert abs(float(loss_j) - float(loss_t)) < 1e-5, (
+        float(loss_j), float(loss_t))
+    num = den = 0.0
+    for (pt, t), (pj, j) in zip(
+            jax.tree_util.tree_leaves_with_path(gT),
+            jax.tree_util.tree_leaves_with_path(gJ)):
+        assert pt == pj
+        num += float(np.sum((np.asarray(t) - np.asarray(j)) ** 2))
+        den += float(np.sum(np.asarray(t) ** 2))
+    assert den > 0.0
+    rel = (num / den) ** 0.5
+    assert rel < 0.1, rel  # f32 BN-backward noise class (module docstring)
