@@ -45,7 +45,12 @@ N_LONG = 21
 # found optimal (experiments_record.md), timed by the same loop-in-jit
 # difference methodology (an epoch of N chained steps in one lax.scan).
 TRAIN_BATCH = int(os.environ.get("BENCH_TRAIN_BATCH", "128"))
-TRAIN_N_LONG = 6
+# 21 chained steps (~1.4 s device time at batch 128) — the dynamic trip
+# count reuses one executable, so a longer chain costs pure runtime and
+# divides the relay's per-call jitter by 20 instead of 5 (observed
+# run-to-run spread at N=6 was ~6%: 1,679 vs 1,869 patches/s).  The env
+# override exists for cheap CPU smoke runs of this code path.
+TRAIN_N_LONG = int(os.environ.get("BENCH_TRAIN_N", "21"))
 PEAK_TFLOPS = 394.0
 
 
