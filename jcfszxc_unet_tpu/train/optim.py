@@ -35,6 +35,7 @@ def make_optimizer(
     alpha: float = 0.99,
     eps: float = 1e-8,
     clip_norm: Optional[float] = 1.0,
+    flatten: bool = False,
 ) -> optax.GradientTransformation:
     """torch.optim.RMSprop + pre-clip, as one optax chain.
 
@@ -44,6 +45,13 @@ def make_optimizer(
         buf <- momentum*buf + g'        (momentum > 0)
         p <- p - lr*buf
     with weight decay folded into g beforehand.
+
+    ``flatten=True`` wraps the chain in ``optax.flatten`` so the whole
+    update runs on ONE raveled vector (sq/mom state become two flat
+    buffers instead of ~2x90 per-leaf arrays).  Mathematically identical
+    (test_optim.py pins bit-exactness); the per-leaf form stays the
+    default because its opt-state pytree is what existing checkpoints
+    hold — flip only with a measured win (scripts/tpu_opt_flat_probe.py).
     """
     def build(learning_rate):
         parts = []
@@ -55,7 +63,8 @@ def make_optimizer(
         if momentum:
             parts.append(optax.trace(decay=momentum))
         parts.append(optax.scale_by_learning_rate(learning_rate, flip_sign=True))
-        return optax.chain(*parts)
+        chain = optax.chain(*parts)
+        return optax.flatten(chain) if flatten else chain
 
     # inject_hyperparams exposes `learning_rate` for host-side mutation
     # (the plateau scheduler) without recompiling the train step.

@@ -139,6 +139,29 @@ def main():
     per_ravel = timed(run_flat_ravel, params, sq0, mom0)
     print(f"flat + ravel/unravel : {per_ravel*1e3:7.2f} ms/step", flush=True)
 
+    # ---- 4. the actual integration candidate: optax.flatten chain ----
+    # (make_optimizer(flatten=True): bit-exact vs per-leaf, test_optim.py)
+    txf = make_optimizer(LR, flatten=True)
+    opt_state_f = jax.jit(txf.init)(params)
+
+    @partial(jax.jit, static_argnums=(0,))
+    def run_flatten_tx(n, params, opt_state):
+        def body(i, carry):
+            params, opt_state = carry
+            g = jax.tree.map(
+                lambda p: p * (1e-3 * (1.0 + i)), params)  # defeat CSE
+            updates, opt_state = txf.update(g, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state
+
+        params, opt_state = jax.lax.fori_loop(
+            0, n, body, (params, opt_state))
+        return jax.tree_util.tree_leaves(params)[0].ravel()[0]
+
+    per_flatten_tx = timed(run_flatten_tx, params, opt_state_f)
+    print(f"optax.flatten chain  : {per_flatten_tx*1e3:7.2f} ms/step",
+          flush=True)
+
     # Roofline reference: bytes ~= params(4) read+write, grads read,
     # sq read+write, mom read+write -> 7 passes of 4*n_params bytes.
     gb = 7 * 4 * n_params / 1e9

@@ -45,6 +45,39 @@ class TestRMSpropParity:
                 err_msg=f"divergence at step {step}",
             )
 
+    def test_flatten_is_bit_exact_and_lr_mutable(self):
+        """flatten=True (optax.flatten over the same chain) must be a pure
+        layout change: identical updates across steps on a ragged pytree,
+        with the injected LR still readable/mutable."""
+        rng = np.random.RandomState(3)
+        params = {
+            "a": jnp.asarray(rng.randn(4, 3), jnp.float32),
+            "b": {"w": jnp.asarray(rng.randn(7), jnp.float32),
+                  "s": jnp.asarray([2.0], jnp.float32)},
+        }
+        tx = make_optimizer(1e-4)
+        txf = make_optimizer(1e-4, flatten=True)
+        st, stf = tx.init(params), txf.init(params)
+        pa, pb = params, params
+        for step in range(3):
+            g = jax.tree.map(
+                lambda p: p * 0.13 + 0.01 * (step + 1), pa)
+            ua, st = tx.update(g, st, pa)
+            ub, stf = txf.update(g, stf, pb)
+            for x, y in zip(jax.tree.leaves(ua), jax.tree.leaves(ub)):
+                np.testing.assert_array_equal(
+                    np.asarray(x), np.asarray(y),
+                    err_msg=f"flatten diverged at step {step}")
+            pa = optax.apply_updates(pa, ua)
+            pb = optax.apply_updates(pb, ub)
+        # sq/mom state collapsed to flat vectors
+        n = sum(x.size for x in jax.tree.leaves(params))
+        flat_state_shapes = [x.shape for x in jax.tree.leaves(stf)]
+        assert flat_state_shapes.count((n,)) == 2
+        assert abs(get_current_lr(stf) - 1e-4) < 1e-10  # f32-stored LR
+        stf = set_current_lr(stf, 5e-5)
+        assert abs(get_current_lr(stf) - 5e-5) < 1e-10
+
     def test_lr_mutation_without_recompile(self):
         tx = make_optimizer(1e-3)
         params = {"w": jnp.ones((2,))}
