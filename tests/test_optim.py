@@ -78,6 +78,54 @@ class TestRMSpropParity:
         stf = set_current_lr(stf, 5e-5)
         assert abs(get_current_lr(stf) - 5e-5) < 1e-10
 
+    def test_flatten_through_production_train_step(self):
+        """`make_optimizer(flatten=True)` must compose with the production
+        train step (trainer.make_batch_step_fn) and reproduce the default
+        per-leaf optimizer's trajectory exactly — same model, batches, and
+        dropout keys; only the opt-state layout differs."""
+        import flax.linen as nn
+
+        from jcfszxc_unet_tpu.train.state import TrainState
+        from jcfszxc_unet_tpu.train.trainer import make_batch_step_fn
+
+        class Tiny(nn.Module):
+            @nn.compact
+            def __call__(self, x, train=False):
+                x = nn.Conv(4, (3, 3))(x)
+                x = nn.BatchNorm(use_running_average=not train,
+                                 momentum=0.9)(x)
+                x = nn.relu(x)
+                return nn.Conv(1, (1, 1))(x)
+
+        model = Tiny()
+        v = model.init({"params": jax.random.PRNGKey(0)},
+                       jnp.zeros((1, 8, 8, 3), jnp.float32), train=False)
+
+        def run(flatten):
+            tx = make_optimizer(1e-3, weight_decay=1e-8, momentum=0.999,
+                                flatten=flatten)
+            state = TrainState(
+                params=v["params"], batch_stats=v["batch_stats"],
+                opt_state=tx.init(v["params"]),
+                step=jnp.zeros((), jnp.int32))
+            step = jax.jit(make_batch_step_fn(model, tx, n_classes=1))
+            losses = []
+            r = np.random.RandomState(11)
+            for s in range(3):
+                x = jnp.asarray(r.rand(2, 8, 8, 3), jnp.float32)
+                y = jnp.asarray((r.rand(2, 8, 8, 1) > 0.5), jnp.float32)
+                state, loss, ok = step(state, x, y, jax.random.PRNGKey(s))
+                assert bool(ok)
+                losses.append(float(loss))
+            return state, losses
+
+        s_a, l_a = run(False)
+        s_b, l_b = run(True)
+        assert l_a == l_b
+        for a, b in zip(jax.tree.leaves(s_a.params),
+                        jax.tree.leaves(s_b.params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
     def test_lr_mutation_without_recompile(self):
         tx = make_optimizer(1e-3)
         params = {"w": jnp.ones((2,))}
