@@ -198,8 +198,9 @@ def _run_trajectory(name, x64, loss_tol, delta_tol, neutralize=False):
         state, loss_j, ok = step_fn(state, jnp.asarray(x), jnp.asarray(y),
                                     jax.random.PRNGKey(s))
         assert bool(ok)
-        assert abs(float(loss_j) - float(loss_t)) < loss_tol, (
-            s, float(loss_j), float(loss_t))
+        loss_t = float(loss_t.detach())
+        assert abs(float(loss_j) - loss_t) < loss_tol, (
+            s, float(loss_j), loss_t)
 
     # Updated parameters: compare the 3-step deltas in relative L2.
     vT = state_dict_to_variables(name, tm.state_dict(), template)
