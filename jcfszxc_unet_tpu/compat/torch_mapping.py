@@ -492,6 +492,50 @@ class MappingError(RuntimeError):
     pass
 
 
+# Classes handled at the leaf level by a mapping direction's ``visit``
+# callback (everything with its own torch parameter/buffer key scheme).
+_VISIT_CLASSES = LEAF_CLASSES | {"MultiHeadSelfAttention"}
+
+
+def _walk(flax_params, flax_stats, cls, prefix, root_rule, model_name, visit):
+    """Shared structural traversal for BOTH mapping directions.
+
+    Descends a Flax (params, batch_stats) subtree pair by the rule tables,
+    computing each node's torch key prefix, and calls
+    ``visit(cls, prefix, params_sub, stats_sub)`` at every torch-leaf-class
+    node; returns the (params_tree, stats_tree) assembled from visit's
+    (params, stats) returns (export visits return empty trees).
+    """
+    if cls in _VISIT_CLASSES:
+        return visit(cls, prefix, flax_params, flax_stats)
+    rules = root_rule if cls == "@same" else CHILD_RULES[cls]
+    siblings = list(flax_params.keys())
+    out_params, out_stats = {}, {}
+    for seg, sub_params in flax_params.items():
+        sub_stats = flax_stats.get(seg, {}) if flax_stats else {}
+        if cls == "@same":
+            rel, sub_cls = root_rule(seg)
+        elif callable(rules):
+            _, idx = _seg_class(seg)
+            rel, sub_cls = rules(seg, idx, siblings)
+        else:
+            if seg not in rules:
+                raise MappingError(
+                    f"no rule for child {seg!r} of class {cls!r} "
+                    f"(prefix {prefix!r}, model {model_name})")
+            rel, sub_cls = rules[seg]
+        sub_prefix = f"{prefix}.{rel}" if prefix and rel else \
+            (prefix or rel)
+        op, os_ = _walk(sub_params, sub_stats, sub_cls, sub_prefix,
+                        root_rule, model_name, visit)
+        out_params[seg] = op
+        if os_:
+            out_stats[seg] = os_
+    # batch_stats-only children (BN wrappers whose params subtree is
+    # empty cannot occur: BN always has scale/bias params).
+    return out_params, out_stats
+
+
 def state_dict_to_variables(model_name: str, state_dict: Dict[str, Any],
                             flax_variables_template: Dict[str, Any],
                             return_info: bool = False):
@@ -522,24 +566,19 @@ def state_dict_to_variables(model_name: str, state_dict: Dict[str, Any],
 
     params_t = flax_variables_template.get("params", {})
     stats_t = flax_variables_template.get("batch_stats", {})
-    root_rule = ROOT_RULES[model_name]
 
-    def descend(flax_params, flax_stats, cls, prefix, out_params, out_stats):
-        """Translate one flax node (params subtree + stats subtree)."""
+    def import_visit(cls, prefix, flax_params, flax_stats):
+        """Translate one torch-leaf flax node (params + stats subtrees)."""
+        out_params: Dict[str, Any] = {}
+        out_stats: Dict[str, Any] = {}
         if cls == "Conv2d" or cls == "ConvTranspose2d":
             _fill_conv(out_params, flax_params, prefix, take,
                        transposed=(cls == "ConvTranspose2d"))
-            _check_shapes(flax_params, out_params, prefix)
-            return
-        if cls in ("BatchNorm2d", "BatchNorm1d"):
+        elif cls in ("BatchNorm2d", "BatchNorm1d"):
             _fill_bn(out_params, out_stats, prefix, take)
-            _check_shapes(flax_params, out_params, prefix)
-            return
-        if cls == "Linear":
+        elif cls == "Linear":
             _fill_linear(out_params, flax_params, prefix, take)
-            _check_shapes(flax_params, out_params, prefix)
-            return
-        if cls == "MultiHeadSelfAttention":
+        else:  # MultiHeadSelfAttention
             # torch wrapper: self.mha = nn.MultiheadAttention
             # (RetinaLiteNet.py:75); state_dict keys <p>.mha.in_proj_weight,
             # <p>.mha.in_proj_bias, <p>.mha.out_proj.{weight,bias}
@@ -553,37 +592,13 @@ def state_dict_to_variables(model_name: str, state_dict: Dict[str, Any],
                     take(prefix + ".mha.out_proj.weight").T),
                 "bias": take(prefix + ".mha.out_proj.bias"),
             }
-            _check_shapes(flax_params, out_params, prefix)
-            return
-        rules = root_rule if cls == "@same" else CHILD_RULES[cls]
-        siblings = list(flax_params.keys())
-        for seg, sub_params in flax_params.items():
-            sub_stats = flax_stats.get(seg, {}) if flax_stats else {}
-            if cls == "@same":
-                rel, sub_cls = root_rule(seg)
-            elif callable(rules):
-                _, idx = _seg_class(seg)
-                rel, sub_cls = rules(seg, idx, siblings)
-            else:
-                if seg not in rules:
-                    raise MappingError(
-                        f"no rule for child {seg!r} of class {cls!r} "
-                        f"(prefix {prefix!r}, model {model_name})")
-                rel, sub_cls = rules[seg]
-            sub_prefix = f"{prefix}.{rel}" if prefix and rel else \
-                (prefix or rel)
-            op, os_ = {}, {}
-            descend(sub_params, sub_stats, sub_cls, sub_prefix, op, os_)
-            out_params[seg] = op
-            if os_:
-                out_stats[seg] = os_
-        # batch_stats-only children (BN wrappers whose params subtree is
-        # empty cannot occur: BN always has scale/bias params).
+        _check_shapes(flax_params, out_params, prefix)
+        return out_params, out_stats
 
-    out_params: Dict[str, Any] = {}
-    out_stats: Dict[str, Any] = {}
     try:
-        descend(params_t, stats_t, "@same", "", out_params, out_stats)
+        out_params, out_stats = _walk(
+            params_t, stats_t, "@same", "", ROOT_RULES[model_name],
+            model_name, import_visit)
     except KeyError as e:  # root-rule misses raise bare KeyError
         raise MappingError(f"no root rule for {e} in model {model_name}") from e
 
@@ -599,6 +614,81 @@ def state_dict_to_variables(model_name: str, state_dict: Dict[str, Any],
     if return_info:
         return variables, {"consumed": consumed, "unused": sorted(unused)}
     return variables
+
+
+def variables_to_state_dict(model_name: str, variables: Dict[str, Any]
+                            ) -> Dict[str, np.ndarray]:
+    """Inverse of :func:`state_dict_to_variables`: map Flax variables back to
+    a torch ``state_dict`` (plain dict of numpy arrays) loadable by the
+    actual reference nn.Module — the "eject path" of the migration story
+    (train here, hand a checkpoint back to the reference's torch tooling).
+
+    The weight transforms are lossless transposes/flips, so
+    import-then-export round-trips bit-exactly (test_torch_export.py).
+    Notes:
+      * BN ``num_batches_tracked`` buffers are emitted as 0 — they are inert
+        under the zoo's momentum-EMA BatchNorms (torch only reads them when
+        ``momentum=None``).
+      * Parameters the reference defines but never uses in forward
+        (EXPECTED_UNUSED, e.g. FRUNet's dead ``fuse`` head, FRUNet.py:105)
+        have no Flax counterpart and are absent — load those models with
+        ``strict=False``; the forward is unaffected.
+      * Float leaves that are neither f32 nor f64 (e.g. bf16 compute params)
+        are cast to f32, the reference modules' parameter dtype.
+    """
+    if model_name not in ROOT_RULES:
+        raise MappingError(f"no mapping rules for model {model_name!r}")
+    out: Dict[str, np.ndarray] = {}
+
+    def emit(key: str, arr) -> None:
+        if key in out:
+            raise MappingError(f"duplicate torch key {key!r} "
+                               f"(model {model_name})")
+        a = np.asarray(arr)
+        if a.dtype not in (np.float32, np.float64, np.int64):
+            a = a.astype(np.float32)
+        out[key] = np.ascontiguousarray(a)
+
+    def export_visit(cls, prefix, flax_params, flax_stats):
+        if cls == "Conv2d":
+            # flax (kh,kw,I,O) -> torch (O,I,kh,kw)
+            emit(prefix + ".weight",
+                 np.transpose(flax_params["conv"]["kernel"], (3, 2, 0, 1)))
+            if "bias" in flax_params["conv"]:
+                emit(prefix + ".bias", flax_params["conv"]["bias"])
+        elif cls == "ConvTranspose2d":
+            # undo _convt_kernel: spatial flip, then (kh,kw,I,O)->(I,O,kh,kw)
+            k = np.asarray(flax_params["conv"]["kernel"])[::-1, ::-1]
+            emit(prefix + ".weight", np.transpose(k, (2, 3, 0, 1)))
+            if "bias" in flax_params["conv"]:
+                emit(prefix + ".bias", flax_params["conv"]["bias"])
+        elif cls in ("BatchNorm2d", "BatchNorm1d"):
+            emit(prefix + ".weight", flax_params["bn"]["scale"])
+            emit(prefix + ".bias", flax_params["bn"]["bias"])
+            emit(prefix + ".running_mean", flax_stats["bn"]["mean"])
+            emit(prefix + ".running_var", flax_stats["bn"]["var"])
+            emit(prefix + ".num_batches_tracked", np.array(0, np.int64))
+        elif cls == "Linear":
+            emit(prefix + ".weight",
+                 np.asarray(flax_params["linear"]["kernel"]).T)
+            if "bias" in flax_params["linear"]:
+                emit(prefix + ".bias", flax_params["linear"]["bias"])
+        else:  # MultiHeadSelfAttention (key scheme: import_visit above)
+            emit(prefix + ".mha.in_proj_weight",
+                 np.asarray(flax_params["in_proj"]["kernel"]).T)
+            emit(prefix + ".mha.in_proj_bias", flax_params["in_proj"]["bias"])
+            emit(prefix + ".mha.out_proj.weight",
+                 np.asarray(flax_params["out_proj"]["kernel"]).T)
+            emit(prefix + ".mha.out_proj.bias",
+                 flax_params["out_proj"]["bias"])
+        return {}, {}
+
+    try:
+        _walk(variables.get("params", {}), variables.get("batch_stats", {}),
+              "@same", "", ROOT_RULES[model_name], model_name, export_visit)
+    except KeyError as e:  # root-rule misses raise bare KeyError
+        raise MappingError(f"no root rule for {e} in model {model_name}") from e
+    return out
 
 
 def _check_shapes(flax_sub, out_sub, prefix):
