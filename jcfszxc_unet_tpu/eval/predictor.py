@@ -38,9 +38,14 @@ class Predictor:
     @classmethod
     def from_checkpoint(cls, path: str, compute_dtype=jnp.bfloat16, **kwargs
                         ) -> "Predictor":
-        from jcfszxc_unet_tpu.train.checkpoint import load_model
+        """Build from a framework ``.ckpt`` OR a reference torch ``.pth``
+        (whole pickled module) — same dual acceptance as the evaluate CLI
+        (checkpoint.load_model_any)."""
+        from jcfszxc_unet_tpu.train.checkpoint import load_model_any
 
-        model, variables, _ = load_model(path, dtype=compute_dtype)
+        model, variables, _ = load_model_any(
+            path, dtype=compute_dtype,
+            patch_size=kwargs.get("patch_size", 512))
         return cls(model, variables, compute_dtype=compute_dtype, **kwargs)
 
     def _forward(self, batch):

@@ -61,6 +61,22 @@ def test_pth_roundtrip_matches_torch_eval(tmp_path, name):
     np.testing.assert_allclose(got, want, atol=2e-4 * scale, rtol=2e-3)
 
 
+def test_predictor_accepts_pth(tmp_path):
+    """Predictor.from_checkpoint has the same dual .ckpt/.pth acceptance as
+    the evaluate CLI (checkpoint.load_model_any)."""
+    from jcfszxc_unet_tpu.eval.predictor import Predictor
+
+    tm, pth = _save_reference_pth(tmp_path, "UNet.UNet")
+    p = Predictor.from_checkpoint(pth, compute_dtype=jnp.float32,
+                                  patch_size=32)
+    x_np = np.random.RandomState(4).rand(2, 32, 32, 3).astype(np.float32)
+    probs = np.asarray(p.predict_patches(x_np))
+    with torch.no_grad():
+        want = torch.sigmoid(tm(torch.from_numpy(x_np).permute(0, 3, 1, 2)))
+    want = want.permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(probs, want, atol=2e-4, rtol=2e-3)
+
+
 def test_pth_loads_without_reference_classes(tmp_path):
     """The skeleton unpickler must work even when the pickled module's
     classes are NOT importable (module path points nowhere)."""
