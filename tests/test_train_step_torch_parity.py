@@ -339,8 +339,8 @@ def test_barunet_ba_module_backward_matches_torch():
 
         loss_j, gJ = jax.value_and_grad(loss_fn)(v0["params"])
 
-    assert abs(float(loss_j) - float(loss_t)) < 1e-5, (
-        float(loss_j), float(loss_t))
+    loss_t = float(loss_t.detach())
+    assert abs(float(loss_j) - loss_t) < 1e-5, (float(loss_j), loss_t)
     num = den = 0.0
     for (pt, t), (pj, j) in zip(
             jax.tree_util.tree_leaves_with_path(gT),
