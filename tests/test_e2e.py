@@ -150,6 +150,31 @@ class TestPredictor:
         single = p.predict_full_image(imgs[0], patch_size=16, overlap=0.5)
         assert single.shape == (48, 40)
 
+    def test_predict_spatial_matches_direct_forward(self, tmp_path):
+        """predict_spatial (the --spatial fast path as an API) equals the
+        direct whole-image forward when no padding is needed."""
+        import jax
+
+        from jcfszxc_unet_tpu.eval.predictor import Predictor
+
+        model = create_model("RetinaLiteNet.TransFuseNet")
+        x = jnp.zeros((1, 16, 16, 3))
+        variables = model.init({"params": jax.random.PRNGKey(0)}, x,
+                               train=False)
+        path = str(tmp_path / "p.ckpt")
+        ckpt.save_model(path, "RetinaLiteNet.TransFuseNet", {},
+                        variables["params"], variables["batch_stats"])
+        p = Predictor.from_checkpoint(path, compute_dtype=jnp.float32,
+                                      patch_size=16)
+        imgs = np.random.RandomState(1).rand(2, 64, 64, 3).astype(np.float32)
+        spat = np.asarray(p.predict_spatial(imgs))
+        assert spat.shape == (2, 64, 64)
+        want = np.asarray(jax.nn.sigmoid(
+            p.model.apply(p.variables, jnp.asarray(imgs), train=False)
+        ))[..., 0]
+        np.testing.assert_allclose(spat, want, atol=1e-6, rtol=1e-6)
+        assert p.predict_spatial(imgs).shape == (2, 64, 64)  # cached fwd
+
 
 class TestExactResume:
     def test_full_state_roundtrip(self, drive_h5, tmp_path):
