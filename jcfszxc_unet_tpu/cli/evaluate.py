@@ -22,7 +22,7 @@ from jcfszxc_unet_tpu.data.loading import (
     load_preprocessed_data,
     visualize_samples,
 )
-from jcfszxc_unet_tpu.eval.metrics import roc_auc
+from jcfszxc_unet_tpu.eval.metrics import classification_metrics, roc_auc
 from jcfszxc_unet_tpu.eval.tiling import sliding_window_predict, tiled_predict
 from jcfszxc_unet_tpu.train import checkpoint as ckpt
 from jcfszxc_unet_tpu.train.losses import dice_coeff
@@ -48,6 +48,7 @@ def eval_model(
     num_images=None,
     image_indices=None,
     spatial: bool = False,
+    full_metrics: bool = False,
 ):
     """Tiled evaluation; returns (mean_dice, per_image_dice, mean_auc).
 
@@ -128,7 +129,9 @@ def eval_model(
 
     pred_np = np.asarray(pred_maps)
     dice_fn = jax.jit(lambda p, t: dice_coeff(p, t, reduce_batch_first=False))
+    cls_fn = jax.jit(classification_metrics)
     dice_scores = []
+    cls_rows = []
     for i in range(n_test):
         pred_img = pred_np[i]
         if visualize:
@@ -150,11 +153,20 @@ def eval_model(
                 )
         binary = (pred_img > 0.5).astype(np.float32)
         dice_scores.append(float(dice_fn(jnp.asarray(binary), jnp.asarray(labels[i]))))
+        if full_metrics:
+            cls_rows.append([float(v) for v in cls_fn(
+                jnp.asarray(binary), jnp.asarray(labels[i]),
+                jnp.asarray(masks[i]))])
 
     mean_dice = float(np.mean(dice_scores)) if dice_scores else 0.0
     print(f"Average Dice Score: {mean_dice:.4f}")
     if aucs:
         print(f"Average AUC: {float(np.mean(aucs)):.4f}")
+    if cls_rows:
+        acc, se, sp = np.mean(np.asarray(cls_rows), axis=0)
+        print(f"Average Accuracy: {acc:.4f}")
+        print(f"Average Sensitivity: {se:.4f}")
+        print(f"Average Specificity: {sp:.4f}")
     return mean_dice, dice_scores, (float(np.mean(aucs)) if aucs else None)
 
 
@@ -199,6 +211,10 @@ def get_args(argv=None):
                              "(0 = all)")
     parser.add_argument("--error-panels", action="store_true",
                         help="Also write TP/FP/FN color-coded panels")
+    parser.add_argument("--full-metrics", action="store_true",
+                        help="Also report FOV accuracy/sensitivity/"
+                             "specificity (DRIVE-literature companions "
+                             "to Dice/AUC)")
     return parser.parse_args(argv)
 
 
@@ -243,6 +259,7 @@ def main(argv=None):
             [int(s) for s in args.image_indices.split(",")]
             if (args.sliding_window and args.image_indices) else None),
         spatial=args.spatial,
+        full_metrics=args.full_metrics,
     )
 
 

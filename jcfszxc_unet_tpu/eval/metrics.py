@@ -64,3 +64,22 @@ def confusion_counts(pred_binary, target, mask=None):
     fn = jnp.sum(w * (1 - p) * t)
     tn = jnp.sum(w * (1 - p) * (1 - t))
     return tp, fp, fn, tn
+
+
+def classification_metrics(pred_binary, target, mask=None):
+    """Accuracy / sensitivity (recall) / specificity over ``mask`` (FOV)
+    pixels — the standard DRIVE-literature companion metrics to Dice/AUC
+    (additive: the reference reports Dice only, evaluate.py:336-346).
+
+    Degenerate denominators (no FOV pixels, no positives, no negatives)
+    yield 0.0 for the affected metric rather than NaN.
+    """
+    tp, fp, fn, tn = confusion_counts(pred_binary, target, mask)
+
+    def _safe(num, den):
+        return jnp.where(den > 0, num / jnp.maximum(den, 1.0), 0.0)
+
+    accuracy = _safe(tp + tn, tp + fp + fn + tn)
+    sensitivity = _safe(tp, tp + fn)
+    specificity = _safe(tn, tn + fp)
+    return accuracy, sensitivity, specificity

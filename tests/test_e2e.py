@@ -19,6 +19,22 @@ from jcfszxc_unet_tpu.models import create_model
 from jcfszxc_unet_tpu.train import checkpoint as ckpt
 
 
+def _save_binary_gif(arr_u8, path):
+    """Save a 0/255 uint8 array as a GIF that loads back as 0/255.
+
+    PIL returns GIF rasters as palette *indices*; a plain save remaps the
+    two used colors to indices {0,1}, which after the pipeline's /255
+    normalization becomes 0.0039 — not the 1.0 that real DRIVE gifs
+    yield.  Writing the raster AS the index array under an identity
+    grayscale palette (optimize=False keeps PIL from remapping) makes
+    the synthetic files behave like the real dataset."""
+    from PIL import Image
+
+    im = Image.fromarray(arr_u8, mode="P")
+    im.putpalette([v for i in range(256) for v in (i, i, i)])
+    im.save(path, optimize=False)
+
+
 def make_synthetic_drive(root, n_train=4, n_test=2, h=64, w=48):
     """DRIVE-layout synthetic dataset (tif images, gif masks/labels)."""
     from PIL import Image
@@ -34,12 +50,14 @@ def make_synthetic_drive(root, n_train=4, n_test=2, h=64, w=48):
             )
             mask = np.zeros((h, w), np.uint8)
             mask[4:-4, 4:-4] = 255
-            Image.fromarray(mask).save(
-                os.path.join(root, split, "mask", f"{20 + i}_{split}_mask.gif")
+            _save_binary_gif(
+                mask, os.path.join(root, split, "mask",
+                                   f"{20 + i}_{split}_mask.gif")
             )
             lab = (rng.rand(h, w) > 0.8).astype(np.uint8) * 255
-            Image.fromarray(lab).save(
-                os.path.join(root, split, "1st_manual", f"{20 + i}_manual1.gif")
+            _save_binary_gif(
+                lab, os.path.join(root, split, "1st_manual",
+                                  f"{20 + i}_manual1.gif")
             )
 
 
@@ -61,11 +79,11 @@ class TestPreprocess:
         assert train["images"].dtype == np.float32
         assert 0.0 <= train["images"].min() and train["images"].max() <= 1.0
         assert set(train.keys()) == {"images", "masks", "labels", "filenames"}
-        # masks/labels binary after /255 (PIL may return GIF palette
-        # *indices*, so the nonzero value can be 1/255 instead of 1.0 —
-        # matching reference behavior, which also goes through PIL)
-        assert len(np.unique(train["masks"])) <= 2
-        assert train["masks"].min() == 0.0
+        # masks/labels binary 0/1 after /255, as real DRIVE gifs yield
+        # (the generator writes identity-palette GIFs so PIL's
+        # palette-index rasters carry the true 0/255 values)
+        assert set(np.unique(train["masks"])) == {0.0, 1.0}
+        assert set(np.unique(train["labels"])) == {0.0, 1.0}
 
     def test_filename_pairing(self, tmp_path):
         # mask/label filenames derive from the image stem
@@ -232,7 +250,7 @@ class TestExport:
 
 class TestSlidingWindowEval:
     def test_flags_drive_sliding_window_subset(self, drive_h5, tmp_path,
-                                               monkeypatch):
+                                               monkeypatch, capsys):
         """--sliding-window + --overlap/--image-indices select the
         predict_full_image protocol (reference evaluate.py:28-96) on a
         subset of images — the flags the reference parses but never wires
@@ -255,9 +273,13 @@ class TestSlidingWindowEval:
             sliding_window=True,
             overlap=0.75,
             image_indices=[1],
+            full_metrics=True,
         )
         assert len(per_image) == 1  # subset honored
         assert 0.0 <= mean <= 1.0 and (auc is None or 0.0 <= auc <= 1.0)
+        out = capsys.readouterr().out  # --full-metrics companion lines
+        assert "Average Accuracy:" in out
+        assert "Average Sensitivity:" in out and "Average Specificity:" in out
 
 
 class TestSpatialEval:

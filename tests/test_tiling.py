@@ -114,6 +114,40 @@ class TestAUC:
         assert float(roc_auc(scores, jnp.asarray([1.0, 1.0]))) == 0.5
 
 
+class TestClassificationMetrics:
+    def test_matches_numpy_confusion(self):
+        from jcfszxc_unet_tpu.eval.metrics import classification_metrics
+
+        rng = np.random.RandomState(4)
+        pred = (rng.rand(64, 64) > 0.6).astype(np.float32)
+        target = (rng.rand(64, 64) > 0.7).astype(np.float32)
+        mask = (rng.rand(64, 64) > 0.3).astype(np.float32)
+
+        m = mask > 0
+        tp = np.sum((pred == 1) & (target == 1) & m)
+        fp = np.sum((pred == 1) & (target == 0) & m)
+        fn = np.sum((pred == 0) & (target == 1) & m)
+        tn = np.sum((pred == 0) & (target == 0) & m)
+
+        acc, se, sp = classification_metrics(
+            jnp.asarray(pred), jnp.asarray(target), jnp.asarray(mask))
+        np.testing.assert_allclose(float(acc), (tp + tn) / m.sum(), rtol=1e-6)
+        np.testing.assert_allclose(float(se), tp / (tp + fn), rtol=1e-6)
+        np.testing.assert_allclose(float(sp), tn / (tn + fp), rtol=1e-6)
+
+    def test_degenerate_zero_not_nan(self):
+        from jcfszxc_unet_tpu.eval.metrics import classification_metrics
+
+        # No positives: sensitivity denominator is 0 -> 0.0, not NaN.
+        pred = jnp.zeros((4, 4))
+        target = jnp.zeros((4, 4))
+        acc, se, sp = classification_metrics(pred, target)
+        assert float(acc) == 1.0 and float(se) == 0.0 and float(sp) == 1.0
+        # Empty FOV: everything 0.0.
+        acc, se, sp = classification_metrics(pred, target, jnp.zeros((4, 4)))
+        assert float(acc) == 0.0 and float(se) == 0.0 and float(sp) == 0.0
+
+
 class TestStitchScatterOracle:
     def test_matches_numpy_loop_oracle_random_overlaps(self):
         """The vectorized scatter-add stitch must equal the reference's
