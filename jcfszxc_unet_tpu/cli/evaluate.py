@@ -22,10 +22,13 @@ from jcfszxc_unet_tpu.data.loading import (
     load_preprocessed_data,
     visualize_samples,
 )
-from jcfszxc_unet_tpu.eval.metrics import classification_metrics, roc_auc
+from jcfszxc_unet_tpu.eval.metrics import (
+    binary_dice,
+    classification_metrics,
+    roc_auc,
+)
 from jcfszxc_unet_tpu.eval.tiling import sliding_window_predict, tiled_predict
 from jcfszxc_unet_tpu.train import checkpoint as ckpt
-from jcfszxc_unet_tpu.train.losses import dice_coeff
 from jcfszxc_unet_tpu.utils.seed import set_seed
 from jcfszxc_unet_tpu.utils.vis import save_error_panel, save_grayscale, save_triptych
 
@@ -128,7 +131,7 @@ def eval_model(
                                      jnp.asarray(masks[i]))))
 
     pred_np = np.asarray(pred_maps)
-    dice_fn = jax.jit(lambda p, t: dice_coeff(p, t, reduce_batch_first=False))
+    dice_fn = jax.jit(binary_dice)
     cls_fn = jax.jit(classification_metrics)
     dice_scores = []
     cls_rows = []

@@ -57,3 +57,20 @@ def test_close_waits_for_inflight_write(tmp_path):
     writer.submit(slow_save)
     writer.close()
     assert os.path.exists(path)
+
+
+def test_orbax_roundtrip(tmp_path):
+    """Orbax directory-checkpoint path (save_orbax/restore_orbax) — the
+    production multi-host format next to the single-file default."""
+    import jax.numpy as jnp
+
+    tree = {"params": {"w": np.arange(6, dtype=np.float32).reshape(2, 3)},
+            "step": np.int32(7)}
+    d = str(tmp_path / "orbax_ckpt")
+    ckpt.save_orbax(d, tree)
+    got = ckpt.restore_orbax(d)
+    np.testing.assert_array_equal(got["params"]["w"], tree["params"]["w"])
+    assert int(got["step"]) == 7
+    # template-typed restore
+    got2 = ckpt.restore_orbax(d, template=tree)
+    np.testing.assert_array_equal(got2["params"]["w"], tree["params"]["w"])

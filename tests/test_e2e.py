@@ -44,7 +44,19 @@ def make_synthetic_drive(root, n_train=4, n_test=2, h=64, w=48):
         for d in ["images", "mask", "1st_manual"]:
             os.makedirs(os.path.join(root, split, d), exist_ok=True)
         for i in range(n):
-            img = (rng.rand(h, w, 3) * 255).astype(np.uint8)
+            # Vessel-like random-walk labels, visible in the green channel
+            # (like real fundus images) so short trainings can actually
+            # learn the mapping instead of fitting noise.
+            lab = np.zeros((h, w), np.uint8)
+            y, x = h // 2, w // 2
+            for _ in range(h * w // 2):
+                lab[y, x] = 255
+                y = int(np.clip(y + rng.randint(-2, 3), 1, h - 2))
+                x = int(np.clip(x + rng.randint(-2, 3), 1, w - 2))
+            img = (rng.rand(h, w, 3) * 128).astype(np.uint8)
+            img[..., 1] = np.clip(
+                img[..., 1].astype(np.int32) + (lab > 0) * 100, 0, 255
+            ).astype(np.uint8)
             Image.fromarray(img).save(
                 os.path.join(root, split, "images", f"{20 + i}_{split}.tif")
             )
@@ -54,7 +66,6 @@ def make_synthetic_drive(root, n_train=4, n_test=2, h=64, w=48):
                 mask, os.path.join(root, split, "mask",
                                    f"{20 + i}_{split}_mask.gif")
             )
-            lab = (rng.rand(h, w) > 0.8).astype(np.uint8) * 255
             _save_binary_gif(
                 lab, os.path.join(root, split, "1st_manual",
                                   f"{20 + i}_manual1.gif")
@@ -245,6 +256,31 @@ class TestExport:
         got = fn(xin)
         want = jax.nn.sigmoid(model.apply(variables, xin, train=False))
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_export_checkpoint_file_to_artifact(self, tmp_path):
+        """Checkpoint-file -> serving-artifact path (export_checkpoint):
+        the on-disk convenience wrapper serving deployments call."""
+        import jax
+
+        from jcfszxc_unet_tpu.eval.export import export_checkpoint, load_exported
+
+        model = create_model("RetinaLiteNet.TransFuseNet")
+        x = jnp.zeros((2, 16, 16, 3), jnp.float32)
+        variables = model.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+        ckpt_path = str(tmp_path / "m.ckpt")
+        ckpt.save_model(ckpt_path, "RetinaLiteNet.TransFuseNet", {},
+                        variables["params"], variables.get("batch_stats", {}))
+        out = export_checkpoint(ckpt_path, str(tmp_path / "m.hlo"),
+                                batch_size=2, patch_size=16,
+                                compute_dtype=jnp.float32)
+        with open(out, "rb") as f:
+            fn = load_exported(f.read())
+        rng = np.random.RandomState(1)
+        xin = jnp.asarray(rng.rand(2, 16, 16, 3), jnp.float32)
+        loaded_model, lv, _ = ckpt.load_model(ckpt_path, dtype=jnp.float32)
+        want = jax.nn.sigmoid(loaded_model.apply(lv, xin, train=False))
+        np.testing.assert_allclose(np.asarray(fn(xin)), np.asarray(want),
                                    rtol=1e-5, atol=1e-6)
 
 

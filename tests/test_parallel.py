@@ -313,3 +313,26 @@ class TestSpatialPartitioning:
         up/down branches at every scale — the densest halo-exchange
         pattern in the zoo."""
         self._check_spatial("FRUNet.FRUNet", h=24, w=32, divisor=16)
+
+
+class TestMeshHelpers:
+    def test_make_2d_mesh_axes_and_sharding(self):
+        """(data, model) mesh: DP x TP forward-compat helper — a batch
+        sharding over its data axis must reproduce replicated math."""
+        from jcfszxc_unet_tpu.parallel.mesh import batch_sharding, make_2d_mesh
+
+        mesh = make_2d_mesh(4, 2)
+        assert mesh.axis_names == ("data", "model")
+        assert mesh.devices.shape == (4, 2)
+
+        x = jnp.arange(8 * 3, dtype=jnp.float32).reshape(8, 3)
+        xs = jax.device_put(x, batch_sharding(mesh, x.ndim))
+        got = jax.jit(lambda a: (a * 2).sum())(xs)
+        np.testing.assert_allclose(float(got), float((x * 2).sum()))
+
+    def test_initialize_distributed_noop_single_process(self):
+        """No coordinator/env -> returns without touching jax.distributed
+        (the single-process common case)."""
+        from jcfszxc_unet_tpu.parallel.mesh import initialize_distributed
+
+        assert initialize_distributed() is None
