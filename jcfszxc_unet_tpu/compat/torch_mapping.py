@@ -86,13 +86,6 @@ def _fill_linear(out, flax_sub, prefix, take):
 # ---------------------------------------------------------------------------
 
 
-def _indexed(fmt: str, cls: str):
-    """Rule for list-like children: Conv2d_i -> fmt.format(i)."""
-    def rule(seg, idx, siblings):
-        return fmt.format(idx), cls
-    return rule
-
-
 def _ba_module_rule(seg, idx, siblings):
     # reference BA_module_resnet (unet_parts.py:188-224): cur_fusion =
     # Sequential(Linear, BN1d); pre_fusions = ModuleList of the same;
