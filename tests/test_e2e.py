@@ -179,6 +179,51 @@ class TestPredictor:
         single = p.predict_full_image(imgs[0], patch_size=16, overlap=0.5)
         assert single.shape == (48, 40)
 
+    def test_predict_cli_image_files_to_maps(self, tmp_path, capsys):
+        """jcfszxc-predict: plain image files -> probability + binary PNGs
+        (the serving path the reference lacks — its evaluate.py reads only
+        the preprocessed h5, evaluate.py:176-182)."""
+        import jax
+        from PIL import Image
+
+        from jcfszxc_unet_tpu.cli.predict import get_args, predict_files
+
+        model = create_model("RetinaLiteNet.TransFuseNet")
+        x = jnp.zeros((1, 16, 16, 3))
+        variables = model.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+        path = str(tmp_path / "p.ckpt")
+        ckpt.save_model(path, "RetinaLiteNet.TransFuseNet", {},
+                        variables["params"], variables["batch_stats"])
+
+        rng = np.random.RandomState(2)
+        img_path = str(tmp_path / "eye.tif")
+        Image.fromarray((rng.rand(48, 40, 3) * 255).astype(np.uint8)).save(img_path)
+        gray_path = str(tmp_path / "gray.png")
+        Image.fromarray((rng.rand(48, 40) * 255).astype(np.uint8)).save(gray_path)
+
+        out = str(tmp_path / "out")
+        maps = predict_files([img_path, gray_path], model_path=path,
+                             output_dir=out, patch_size=16,
+                             compute_dtype=jnp.float32)
+        assert len(maps) == 2 and maps[0].shape == (48, 40)
+        for stem in ["eye", "gray"]:
+            assert os.path.exists(os.path.join(out, f"{stem}_prob.png"))
+            assert os.path.exists(os.path.join(out, f"{stem}_mask.png"))
+        binary = np.asarray(Image.open(os.path.join(out, "eye_mask.png")))
+        assert set(np.unique(binary)).issubset({0, 255})
+
+        # spatial mode on a divisor-friendly size
+        sq_path = str(tmp_path / "sq.tif")
+        Image.fromarray((rng.rand(64, 64, 3) * 255).astype(np.uint8)).save(sq_path)
+        maps_sp = predict_files([sq_path], model_path=path, output_dir=out,
+                                mode="spatial", compute_dtype=jnp.float32)
+        assert maps_sp[0].shape == (64, 64)
+
+        # arg surface
+        a = get_args(["a.tif", "b.tif", "-m", "m.ckpt", "--mode", "sliding"])
+        assert a.inputs == ["a.tif", "b.tif"] and a.mode == "sliding"
+        assert a.patch_size == 512 and a.threshold == 0.5
+
     def test_predict_spatial_matches_direct_forward(self, tmp_path):
         """predict_spatial (the --spatial fast path as an API) equals the
         direct whole-image forward when no padding is needed."""
