@@ -72,6 +72,7 @@ def train_model(
     resume_from: str | None = None,
     async_checkpoints: bool = True,
     precise_bn: int = 0,
+    augment: bool = False,
 ):
     """Run the reference training protocol end-to-end; returns best dice.
 
@@ -144,7 +145,7 @@ def train_model(
     epoch_fn = make_epoch_fn(
         model, tx, n_classes=n_classes, batch_size=batch_size,
         patch_size=patch_size, steps=steps, compute_dtype=compute_dtype,
-        mesh=mesh, remat=remat,
+        mesh=mesh, remat=remat, augment=augment,
     )
     val_fn = make_val_fn(model, patch_size=patch_size,
                          compute_dtype=compute_dtype, mesh=mesh)
@@ -376,6 +377,10 @@ def get_args(argv=None):
     parser.add_argument("--remat", action="store_true",
                         help="Rematerialize activations in the backward pass "
                              "(larger batches/patches at extra FLOPs)")
+    parser.add_argument("--augment", action="store_true",
+                        help="Per-sample random flips/90-degree rotations on "
+                             "training patches (on-device; additive — the "
+                             "reference trains un-augmented)")
     parser.add_argument("--latest-path", type=str, default=None,
                         help="Also save the FULL training state (optimizer + "
                              "scheduler + progress) here every epoch")
@@ -458,6 +463,7 @@ def main(argv=None):
         resume_from=args.resume,
         async_checkpoints=not args.sync_checkpoints,
         precise_bn=args.precise_bn,
+        augment=args.augment,
     )
 
 

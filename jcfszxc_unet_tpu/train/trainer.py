@@ -32,7 +32,11 @@ import numpy as np
 import optax
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-from jcfszxc_unet_tpu.data.sampler import extract_patches, sample_batch
+from jcfszxc_unet_tpu.data.sampler import (
+    augment_batch,
+    extract_patches,
+    sample_batch,
+)
 from jcfszxc_unet_tpu.train.losses import combined_loss, dice_coeff
 from jcfszxc_unet_tpu.train.state import TrainState
 
@@ -119,12 +123,16 @@ def make_epoch_fn(
     compute_dtype=jnp.float32,
     mesh=None,
     remat: bool = False,
+    augment: bool = False,
 ) -> Callable:
     """Build the jitted epoch function: (state, images, labels, sample_map,
     key) -> (state, {"epoch_loss": sum-of-kept-losses, "skipped": count}).
 
     epoch_loss follows reference semantics: skipped (NaN) steps contribute
     nothing but the divisor stays ``steps`` (train.py:303, 392).
+
+    ``augment=True`` adds per-sample random dihedral-8 flips/rotations to
+    every sampled patch (additive; off = reference parity protocol).
     """
     batch_step = make_batch_step_fn(
         model, tx, n_classes=n_classes, compute_dtype=compute_dtype,
@@ -132,10 +140,17 @@ def make_epoch_fn(
     )
 
     def train_step(state: TrainState, key, images, labels, sample_map):
-        k_sample, k_drop = jax.random.split(key)
+        if augment:
+            k_sample, k_aug, k_drop = jax.random.split(key, 3)
+        else:
+            # 2-way split preserved so augment=False reproduces the exact
+            # historical RNG stream (trajectory reproducibility).
+            k_sample, k_drop = jax.random.split(key)
         imgs, labs = sample_batch(
             k_sample, images, labels, sample_map, batch_size, patch_size
         )
+        if augment:
+            imgs, labs = augment_batch(k_aug, imgs, labs)
         return batch_step(state, imgs, labs, k_drop)
 
     @functools.partial(jax.jit, donate_argnums=(0,))

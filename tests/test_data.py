@@ -122,3 +122,47 @@ class TestEnhancements:
         out = P.enhance_image(img, grayscale=True)
         assert out.shape == (5, 5, 3)
         np.testing.assert_allclose(out[..., 0], out[..., 1])
+
+
+class TestAugmentBatch:
+    @staticmethod
+    def _dihedral8(x):
+        """All 8 flip/rotation transforms of one (P, P, C) patch."""
+        out = []
+        for t in (False, True):
+            base = np.swapaxes(x, 0, 1) if t else x
+            for h in (False, True):
+                for v in (False, True):
+                    y = base[:, ::-1] if h else base
+                    y = y[::-1] if v else y
+                    out.append(y)
+        return out
+
+    def test_image_and_label_get_the_same_transform(self):
+        rng = np.random.RandomState(0)
+        imgs = rng.rand(16, 8, 8, 3).astype(np.float32)
+        labs = rng.rand(16, 8, 8, 1).astype(np.float32)
+        ai, al = S.augment_batch(jax.random.PRNGKey(3), jnp.asarray(imgs),
+                                 jnp.asarray(labs))
+        ai, al = np.asarray(ai), np.asarray(al)
+        seen = set()
+        for b in range(16):
+            cands_i = self._dihedral8(imgs[b])
+            cands_l = self._dihedral8(labs[b])
+            matches = [k for k, c in enumerate(cands_i)
+                       if np.array_equal(ai[b], c)]
+            assert matches, f"sample {b}: output is not a dihedral transform"
+            # the label must have received one of the SAME group elements
+            # (several k can alias on symmetric content, so check any match)
+            assert any(np.array_equal(al[b], cands_l[k]) for k in matches)
+            seen.add(matches[0])
+        assert len(seen) > 2  # the batch actually mixes transforms
+
+    def test_deterministic_per_key(self):
+        rng = np.random.RandomState(1)
+        imgs = jnp.asarray(rng.rand(4, 8, 8, 3).astype(np.float32))
+        labs = jnp.asarray(rng.rand(4, 8, 8, 1).astype(np.float32))
+        a1 = S.augment_batch(jax.random.PRNGKey(7), imgs, labs)
+        a2 = S.augment_batch(jax.random.PRNGKey(7), imgs, labs)
+        np.testing.assert_array_equal(np.asarray(a1[0]), np.asarray(a2[0]))
+        np.testing.assert_array_equal(np.asarray(a1[1]), np.asarray(a2[1]))

@@ -64,3 +64,31 @@ def test_denseunet_ce_branch_is_zero():
     loss, bce, dice = combined_loss(logits, target, n_classes=128)
     assert float(bce) == pytest.approx(0.0, abs=1e-7)
     assert float(loss) == pytest.approx(0.5 * float(dice), rel=1e-6)
+
+
+def test_augmented_epoch_runs_and_diverges_from_plain():
+    """--augment: the dihedral-8 patch augmentation runs inside the jitted
+    epoch, keeps the loss finite, and actually changes the trajectory
+    (different batches than the un-augmented RNG stream)."""
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(rng.rand(2, 48, 48, 3), jnp.float32)
+    labels = jnp.asarray((rng.rand(2, 48, 48, 1) > 0.8), jnp.float32)
+    smap = jnp.asarray(
+        build_train_sample_map(np.ones((2, 48, 48), np.float32), 8))
+    model = create_model("RetinaLiteNet.TransFuseNet")
+    tx = make_optimizer(1e-3)
+
+    def run(augment):
+        state = create_train_state(
+            model, tx, jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 3)))
+        fn = make_epoch_fn(model, tx, n_classes=model.n_classes,
+                           batch_size=8, patch_size=16, steps=2,
+                           augment=augment)
+        state, metrics = fn(state, images, labels, smap, jax.random.PRNGKey(5))
+        return float(metrics["epoch_loss"]), state
+
+    loss_plain, _ = run(False)
+    loss_aug, state_aug = run(True)
+    assert np.isfinite(loss_aug) and loss_aug > 0
+    assert loss_aug != loss_plain
+    assert all(np.all(np.isfinite(p)) for p in jax.tree.leaves(state_aug.params))
