@@ -27,7 +27,11 @@ from jcfszxc_unet_tpu.eval.metrics import (
     classification_metrics,
     roc_auc,
 )
-from jcfszxc_unet_tpu.eval.tiling import sliding_window_predict, tiled_predict
+from jcfszxc_unet_tpu.eval.tiling import (
+    dihedral_tta,
+    sliding_window_predict,
+    tiled_predict,
+)
 from jcfszxc_unet_tpu.train import checkpoint as ckpt
 from jcfszxc_unet_tpu.utils.seed import set_seed
 from jcfszxc_unet_tpu.utils.vis import save_error_panel, save_grayscale, save_triptych
@@ -52,6 +56,7 @@ def eval_model(
     image_indices=None,
     spatial: bool = False,
     full_metrics: bool = False,
+    tta: bool = False,
 ):
     """Tiled evaluation; returns (mean_dice, per_image_dice, mean_auc).
 
@@ -94,6 +99,12 @@ def eval_model(
     def forward(batch):
         out = model.apply(variables, batch.astype(compute_dtype), train=False)
         return jax.nn.sigmoid(out.astype(jnp.float32))
+
+    if tta:
+        if spatial:
+            raise ValueError("--tta needs square patches; it composes with "
+                             "the tiled/sliding protocols, not --spatial")
+        forward = dihedral_tta(forward)
 
     if spatial:
         # Whole-image spatially-partitioned forward (SURVEY §2.5 item 3):
@@ -214,6 +225,10 @@ def get_args(argv=None):
                              "(0 = all)")
     parser.add_argument("--error-panels", action="store_true",
                         help="Also write TP/FP/FN color-coded panels")
+    parser.add_argument("--tta", action="store_true",
+                        help="Dihedral-8 test-time augmentation: average "
+                             "probabilities over all flips/rotations of "
+                             "each patch (8x compute; tiled/sliding only)")
     parser.add_argument("--full-metrics", action="store_true",
                         help="Also report FOV accuracy/sensitivity/"
                              "specificity (DRIVE-literature companions "
@@ -228,6 +243,10 @@ def main(argv=None):
         raise SystemExit(
             "--spatial and --sliding-window select different evaluation "
             "protocols; pass at most one")
+    if args.spatial and args.tta:
+        raise SystemExit(
+            "--tta needs square patches; combine it with the tiled or "
+            "--sliding-window protocols, not --spatial")
     os.makedirs(args.output_dir, exist_ok=True)
     os.makedirs("demo", exist_ok=True)
     logging.info(f"Using devices: {jax.devices()}")
@@ -263,6 +282,7 @@ def main(argv=None):
             if (args.sliding_window and args.image_indices) else None),
         spatial=args.spatial,
         full_metrics=args.full_metrics,
+        tta=args.tta,
     )
 
 

@@ -181,3 +181,32 @@ def sliding_window_predict(
     probs = probs.reshape(n_chunks * bs, *probs.shape[2:])[:total]
     probs = jnp.squeeze(probs, axis=-1)
     return stitch_patches(probs, centers, 1, h, w)[0]
+
+
+def dihedral_tta(forward: Callable) -> Callable:
+    """Wrap a square-patch forward with dihedral-8 test-time augmentation:
+    run all 8 flip/rotation variants, invert each output back, average the
+    probabilities.  Additive accuracy lever (the reference has no TTA),
+    the eval-side companion of ``train.py --augment``; 8x the compute.
+
+    ``forward``: (B, P, P, C) -> (B, P, P, 1) with square P.  The 8
+    variants unroll into one XLA program — no host round-trips.
+    """
+
+    def fwd(batch):
+        acc = None
+        for t in (False, True):
+            xb = jnp.swapaxes(batch, 1, 2) if t else batch
+            for h in (False, True):
+                for v in (False, True):
+                    x = xb[:, :, ::-1] if h else xb
+                    x = x[:, ::-1] if v else x
+                    y = forward(x)
+                    # invert T = V o H o Tr: apply V, H, Tr in reverse
+                    y = y[:, ::-1] if v else y
+                    y = y[:, :, ::-1] if h else y
+                    y = jnp.swapaxes(y, 1, 2) if t else y
+                    acc = y if acc is None else acc + y
+        return acc / 8.0
+
+    return fwd

@@ -114,6 +114,52 @@ class TestAUC:
         assert float(roc_auc(scores, jnp.asarray([1.0, 1.0]))) == 0.5
 
 
+class TestDihedralTTA:
+    def test_matches_numpy_oracle(self):
+        """TTA of an orientation-sensitive forward equals the hand-rolled
+        transform -> forward -> inverse-transform -> average loop."""
+        from jcfszxc_unet_tpu.eval.tiling import dihedral_tta
+
+        rng = np.random.RandomState(5)
+        w = rng.rand(8, 8, 1).astype(np.float32)  # fixed asymmetric field
+
+        def forward(x):  # (B,8,8,C) -> (B,8,8,1): content- AND position-dependent
+            return x[..., :1] * 2.0 + jnp.asarray(w)
+
+        x = rng.rand(3, 8, 8, 3).astype(np.float32)
+
+        def np_transform(a, t, h, v):
+            a = np.swapaxes(a, 1, 2) if t else a
+            a = a[:, :, ::-1] if h else a
+            return a[:, ::-1] if v else a
+
+        acc = np.zeros((3, 8, 8, 1), np.float32)
+        for t in (False, True):
+            for h in (False, True):
+                for v in (False, True):
+                    xt = np_transform(x, t, h, v)
+                    y = xt[..., :1] * 2.0 + w
+                    # invert in reverse order (each factor is an involution)
+                    y = y[:, ::-1] if v else y
+                    y = y[:, :, ::-1] if h else y
+                    y = np.swapaxes(y, 1, 2) if t else y
+                    acc += y
+        want = acc / 8.0
+
+        got = np.asarray(dihedral_tta(forward)(jnp.asarray(x)))
+        np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+
+    def test_equivariant_forward_is_unchanged(self):
+        """For a pointwise forward (commutes with every transform), TTA is
+        the identity — pins that the inversions really undo the transforms."""
+        from jcfszxc_unet_tpu.eval.tiling import dihedral_tta
+
+        forward = lambda x: jax.nn.sigmoid(x[..., :1])  # noqa: E731
+        x = jnp.asarray(np.random.RandomState(6).rand(2, 8, 8, 3), jnp.float32)
+        np.testing.assert_allclose(np.asarray(dihedral_tta(forward)(x)),
+                                   np.asarray(forward(x)), rtol=1e-6, atol=1e-7)
+
+
 class TestClassificationMetrics:
     def test_matches_numpy_confusion(self):
         from jcfszxc_unet_tpu.eval.metrics import classification_metrics
