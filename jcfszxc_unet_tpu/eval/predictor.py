@@ -27,14 +27,21 @@ from jcfszxc_unet_tpu.eval.tiling import sliding_window_predict, tiled_predict
 class Predictor:
     def __init__(self, model, variables, compute_dtype=jnp.bfloat16,
                  patch_size: int = 512, inference_batch_size: int = 32,
-                 mesh=None):
+                 mesh=None, tta: bool = False):
         self.model = model
         self.variables = variables
         self.compute_dtype = compute_dtype
         self.patch_size = patch_size
         self.inference_batch_size = inference_batch_size
         self.mesh = mesh
-        self._batch_fwd = jax.jit(self._forward)
+        self.tta = tta
+        if tta:
+            from jcfszxc_unet_tpu.eval.tiling import dihedral_tta
+
+            self._fwd = dihedral_tta(self._forward)
+        else:
+            self._fwd = self._forward
+        self._batch_fwd = jax.jit(self._fwd)
         self._spatial_fwds = {}
 
     @classmethod
@@ -65,7 +72,7 @@ class Predictor:
         """Tiled + count-average-stitched probabilities for (N, H, W, C)
         images, FOV-unmasked (caller applies masks)."""
         return tiled_predict(
-            self._forward, jnp.asarray(images),
+            self._fwd, jnp.asarray(images),
             patch_size or self.patch_size, self.inference_batch_size,
             mesh=self.mesh,
         )
@@ -76,7 +83,7 @@ class Predictor:
         """Sliding-window single-image prediction (the API form of the
         reference's predict_full_image, evaluate.py:28-96)."""
         return sliding_window_predict(
-            self._forward, jnp.asarray(image), patch_size, overlap, batch_size
+            self._fwd, jnp.asarray(image), patch_size, overlap, batch_size
         )
 
     def predict_spatial(self, images, divisor: int = 32) -> jnp.ndarray:
@@ -87,6 +94,9 @@ class Predictor:
         pixels).  ``divisor`` must cover the model's total downsampling
         factor (32 covers the whole zoo).  Returns (N, H, W) probabilities.
         """
+        if self.tta:
+            raise ValueError("tta needs square patches; use predict_images/"
+                             "predict_full_image, not predict_spatial")
         key = ("spatial", divisor)
         fwd = self._spatial_fwds.get(key)
         if fwd is None:

@@ -179,6 +179,33 @@ class TestPredictor:
         single = p.predict_full_image(imgs[0], patch_size=16, overlap=0.5)
         assert single.shape == (48, 40)
 
+    def test_predictor_tta_matches_wrapper(self, tmp_path):
+        """Predictor(tta=True) routes every protocol through dihedral_tta;
+        spatial refuses (whole images are not square)."""
+        import jax
+        import pytest as _pytest
+
+        from jcfszxc_unet_tpu.eval.predictor import Predictor
+        from jcfszxc_unet_tpu.eval.tiling import dihedral_tta
+
+        model = create_model("RetinaLiteNet.TransFuseNet")
+        x = jnp.zeros((1, 16, 16, 3))
+        variables = model.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+        path = str(tmp_path / "p.ckpt")
+        ckpt.save_model(path, "RetinaLiteNet.TransFuseNet", {},
+                        variables["params"], variables["batch_stats"])
+        p = Predictor.from_checkpoint(path, compute_dtype=jnp.float32,
+                                      patch_size=16, tta=True)
+        patches = jnp.asarray(
+            np.random.RandomState(3).rand(2, 16, 16, 3), jnp.float32)
+        plain = Predictor.from_checkpoint(path, compute_dtype=jnp.float32,
+                                          patch_size=16)
+        want = dihedral_tta(plain._forward)(patches)
+        np.testing.assert_allclose(np.asarray(p.predict_patches(patches)),
+                                   np.asarray(want), rtol=1e-5, atol=1e-6)
+        with _pytest.raises(ValueError):
+            p.predict_spatial(np.zeros((1, 32, 32, 3), np.float32))
+
     def test_predict_cli_image_files_to_maps(self, tmp_path, capsys):
         """jcfszxc-predict: plain image files -> probability + binary PNGs
         (the serving path the reference lacks — its evaluate.py reads only
