@@ -31,6 +31,7 @@ def predict_files(
     threshold: float = 0.5,
     inference_batch_size: int = 32,
     compute_dtype=None,
+    tta: bool = False,
 ):
     """Run inference on image files; writes ``<stem>_prob.png`` and
     ``<stem>_mask.png`` per input.  Returns the list of probability maps.
@@ -48,9 +49,12 @@ def predict_files(
 
     if compute_dtype is None:
         compute_dtype = jnp.bfloat16
+    if tta and mode == "spatial":
+        raise ValueError("--tta needs square patches; use the tiled or "
+                         "sliding modes")
     predictor = Predictor.from_checkpoint(
         model_path, compute_dtype=compute_dtype, patch_size=patch_size,
-        inference_batch_size=inference_batch_size)
+        inference_batch_size=inference_batch_size, tta=tta)
 
     os.makedirs(output_dir, exist_ok=True)
     prob_maps = []
@@ -98,6 +102,9 @@ def get_args(argv=None):
                         help="Patch batch size")
     parser.add_argument("--dtype", type=str, default="bfloat16",
                         choices=["bfloat16", "float32"], help="Compute dtype")
+    parser.add_argument("--tta", action="store_true",
+                        help="Dihedral-8 test-time augmentation "
+                             "(8x compute; tiled/sliding modes)")
     return parser.parse_args(argv)
 
 
@@ -120,6 +127,7 @@ def main(argv=None):
         threshold=args.threshold,
         inference_batch_size=args.inference_batch_size,
         compute_dtype=jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32,
+        tta=args.tta,
     )
 
 
