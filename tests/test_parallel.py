@@ -21,7 +21,7 @@ from jcfszxc_unet_tpu.train.state import create_train_state
 from jcfszxc_unet_tpu.train.trainer import make_epoch_fn, make_val_fn
 
 
-def _tiny_setup(mesh, steps=2, batch=8, patch=16):
+def _tiny_setup(mesh, steps=2, batch=8, patch=16, augment=False):
     """Small model: TransFuseNet (8/16/32 channels) keeps CPU compile fast
     while exercising BN, CBAM, MHA and transposed-conv blocks."""
     rng = np.random.RandomState(0)
@@ -46,7 +46,7 @@ def _tiny_setup(mesh, steps=2, batch=8, patch=16):
         smap = put_replicated(smap, mesh)
     epoch_fn = make_epoch_fn(
         model, tx, n_classes=model.n_classes, batch_size=batch,
-        patch_size=patch, steps=steps, mesh=mesh,
+        patch_size=patch, steps=steps, mesh=mesh, augment=augment,
     )
     return model, state, epoch_fn, images, labels, smap
 
@@ -336,3 +336,23 @@ class TestMeshHelpers:
         from jcfszxc_unet_tpu.parallel.mesh import initialize_distributed
 
         assert initialize_distributed() is None
+
+
+class TestAugmentUnderDP:
+    def test_augmented_sharded_matches_single_device(self):
+        """--augment composes with GSPMD batch sharding: the per-sample
+        dihedral selects shard along the batch axis like everything else,
+        so the 8-device trajectory must reproduce single-device numbers."""
+        key = jax.random.PRNGKey(11)
+
+        _, s1, e1, im, lb, sm = _tiny_setup(None, augment=True)
+        s1, m1 = e1(s1, im, lb, sm, key)
+
+        mesh = make_mesh(8)
+        _, s8, e8, im8, lb8, sm8 = _tiny_setup(mesh, augment=True)
+        s8, m8 = e8(s8, im8, lb8, sm8, key)
+
+        assert abs(float(m1["epoch_loss"]) - float(m8["epoch_loss"])) < 1e-3
+        for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s8.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-3, atol=1e-5)
