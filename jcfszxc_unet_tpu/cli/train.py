@@ -73,6 +73,7 @@ def train_model(
     async_checkpoints: bool = True,
     precise_bn: int = 0,
     augment: bool = False,
+    metrics_file: str | None = None,
 ):
     """Run the reference training protocol end-to-end; returns best dice.
 
@@ -315,6 +316,19 @@ def train_model(
                     },
                 )
 
+            if metrics_file:
+                # one JSON object per epoch — machine-readable mirror of
+                # the stdout line for production monitoring (additive)
+                import json as _json
+
+                with open(metrics_file, "a") as f:
+                    f.write(_json.dumps({
+                        "epoch": epoch, "lr": new_lr,
+                        "loss": epoch_loss / steps, "dice": dice,
+                        "dice_avg": dice_avg, "best_dice": best_dice,
+                        "patches_per_sec": pps, "skipped_steps": skipped,
+                    }) + "\n")
+
             if visualize and val_imgs.shape[0] > 0:
                 sample_num = min(100, val_imgs.shape[0] - 1)
                 save_triptych(
@@ -377,6 +391,9 @@ def get_args(argv=None):
     parser.add_argument("--remat", action="store_true",
                         help="Rematerialize activations in the backward pass "
                              "(larger batches/patches at extra FLOPs)")
+    parser.add_argument("--metrics-file", type=str, default=None,
+                        help="Append one JSON object per epoch here "
+                             "(machine-readable mirror of the epoch line)")
     parser.add_argument("--augment", action="store_true",
                         help="Per-sample random flips/90-degree rotations on "
                              "training patches (on-device; additive — the "
@@ -464,6 +481,7 @@ def main(argv=None):
         async_checkpoints=not args.sync_checkpoints,
         precise_bn=args.precise_bn,
         augment=args.augment,
+        metrics_file=args.metrics_file,
     )
 
 
