@@ -57,6 +57,7 @@ def eval_model(
     spatial: bool = False,
     full_metrics: bool = False,
     tta: bool = False,
+    threshold: float = 0.5,
 ):
     """Tiled evaluation; returns (mean_dice, per_image_dice, mean_auc).
 
@@ -165,7 +166,7 @@ def eval_model(
                     labels[i], pred_img,
                     f"{output_dir}/errors_{i}.png",
                 )
-        binary = (pred_img > 0.5).astype(np.float32)
+        binary = (pred_img > threshold).astype(np.float32)
         dice_scores.append(float(dice_fn(jnp.asarray(binary), jnp.asarray(labels[i]))))
         if full_metrics:
             cls_rows.append([float(v) for v in cls_fn(
@@ -225,6 +226,9 @@ def get_args(argv=None):
                              "(0 = all)")
     parser.add_argument("--error-panels", action="store_true",
                         help="Also write TP/FP/FN color-coded panels")
+    parser.add_argument("--threshold", type=float, default=0.5,
+                        help="Binarization threshold for Dice and "
+                             "--full-metrics (reference uses 0.5)")
     parser.add_argument("--tta", action="store_true",
                         help="Dihedral-8 test-time augmentation: average "
                              "probabilities over all flips/rotations of "
@@ -283,6 +287,7 @@ def main(argv=None):
         spatial=args.spatial,
         full_metrics=args.full_metrics,
         tta=args.tta,
+        threshold=args.threshold,
     )
 
 
