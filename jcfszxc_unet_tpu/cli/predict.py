@@ -62,6 +62,8 @@ def predict_files(
         img = np.asarray(Image.open(path), np.float32) / 255.0
         if img.ndim == 2:  # grayscale input -> replicate to the 3 channels
             img = np.repeat(img[..., None], 3, axis=-1)
+        elif img.shape[-1] == 4:  # RGBA -> drop alpha
+            img = img[..., :3]
         if mode == "spatial":
             probs = np.asarray(predictor.predict_spatial(img[None]))[0]
         elif mode == "sliding":
