@@ -121,9 +121,18 @@ class TestTrainEval:
             compute_dtype=jnp.float32,
             max_epochs=2,
             visualize=False,
+            metrics_file=str(tmp_path / "metrics.jsonl"),
         )
         assert os.path.exists(save_path)
         assert 0.0 <= best <= 1.0
+
+        import json
+
+        rows = [json.loads(line)
+                for line in open(tmp_path / "metrics.jsonl")]
+        assert [r["epoch"] for r in rows] == [1, 2]
+        assert all(np.isfinite(r["loss"]) and 0 <= r["dice"] <= 1
+                   for r in rows)
 
         loaded_model, variables, cfg = ckpt.load_model(save_path)
         assert cfg["model_name"] == "RetinaLiteNet.TransFuseNet"
