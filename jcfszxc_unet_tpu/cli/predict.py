@@ -59,7 +59,11 @@ def predict_files(
     os.makedirs(output_dir, exist_ok=True)
     prob_maps = []
     for path in paths:
-        img = np.asarray(Image.open(path), np.float32) / 255.0
+        raw = np.asarray(Image.open(path))
+        # Normalize by the input's own integer range (16-bit TIFF scanner
+        # output is common for retinal imagery; /255 would blow past 1.0).
+        scale = float(np.iinfo(raw.dtype).max) if raw.dtype.kind in "iu" else 1.0
+        img = raw.astype(np.float32) / scale
         if img.ndim == 2:  # grayscale input -> replicate to the 3 channels
             img = np.repeat(img[..., None], 3, axis=-1)
         elif img.shape[-1] == 4:  # RGBA -> drop alpha

@@ -248,6 +248,18 @@ class TestPredictor:
         binary = np.asarray(Image.open(os.path.join(out, "eye_mask.png")))
         assert set(np.unique(binary)).issubset({0, 255})
 
+        # 16-bit TIFF (scanner output): normalized by its own range, so the
+        # same content as uint8 and uint16 yields the same probabilities
+        u8 = (rng.rand(48, 40) * 255).astype(np.uint8)
+        p16_path = str(tmp_path / "deep.tif")
+        Image.fromarray((u8.astype(np.uint16) * 257), mode="I;16").save(p16_path)
+        p8_path = str(tmp_path / "shallow.png")
+        Image.fromarray(u8).save(p8_path)
+        m16, m8 = predict_files([p16_path, p8_path], model_path=path,
+                                output_dir=out, patch_size=16,
+                                compute_dtype=jnp.float32)
+        np.testing.assert_allclose(m16, m8, atol=1e-6)
+
         # spatial mode on a divisor-friendly size
         sq_path = str(tmp_path / "sq.tif")
         Image.fromarray((rng.rand(64, 64, 3) * 255).astype(np.uint8)).save(sq_path)
