@@ -293,7 +293,8 @@ def train_model(
                 f"Dice: {dice:.4g} - "
                 f"Avg Dice: {dice_avg:.4g} - "
                 f"Best Dice: {best_dice:.4g}"
-                + (f" - {pps:.0f} patches/s" if pps else "")
+                + ((f" - {pps:.1f} patches/s" if pps < 10 else
+                    f" - {pps:.0f} patches/s") if pps else "")
                 + (f" - skipped {skipped} NaN steps" if skipped else "")
             )
 
