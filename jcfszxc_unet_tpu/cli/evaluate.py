@@ -58,6 +58,7 @@ def eval_model(
     full_metrics: bool = False,
     tta: bool = False,
     threshold: float = 0.5,
+    threshold_sweep: bool = False,
 ):
     """Tiled evaluation; returns (mean_dice, per_image_dice, mean_auc).
 
@@ -173,6 +174,28 @@ def eval_model(
                 jnp.asarray(binary), jnp.asarray(labels[i]),
                 jnp.asarray(masks[i]))])
 
+    if threshold_sweep:
+        # Diagnostic: mean Dice across binarization cuts, reusing the
+        # probability maps already on the host (re-binarization is free
+        # next to inference).  Motivated by the --augment A/B: a model
+        # can be well-ordered (high AUC) but mis-calibrated, in which
+        # case the fixed 0.5 cut under-reports it by 0.05+ Dice
+        # (experiments_record.md, threshold-sweep section).  Run this on
+        # a VALIDATION split and pass the winning cut as --threshold.
+        labels_j = [jnp.asarray(labels[i]) for i in range(n_test)]
+        print("Threshold sweep (mean Dice):")
+        rows = []
+        for th in (0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9, 0.95, 0.99):
+            d = float(np.mean([
+                float(dice_fn(jnp.asarray(
+                    (pred_np[i] > th).astype(np.float32)), labels_j[i]))
+                for i in range(n_test)]))
+            rows.append((th, d))
+        best_th, best_d = max(rows, key=lambda r: r[1])
+        for th, d in rows:
+            mark = "  <- best" if th == best_th else ""
+            print(f"  threshold {th:.2f}: Dice {d:.4f}{mark}")
+
     mean_dice = float(np.mean(dice_scores)) if dice_scores else 0.0
     print(f"Average Dice Score: {mean_dice:.4f}")
     if aucs:
@@ -237,6 +260,12 @@ def get_args(argv=None):
                         help="Also report FOV accuracy/sensitivity/"
                              "specificity (DRIVE-literature companions "
                              "to Dice/AUC)")
+    parser.add_argument("--threshold-sweep", action="store_true",
+                        help="Also print mean Dice across binarization "
+                             "cuts (0.3-0.99) from the same probability "
+                             "maps — run on a validation split to pick "
+                             "--threshold for mis-calibrated models "
+                             "(e.g. trained with --augment)")
     return parser.parse_args(argv)
 
 
@@ -288,6 +317,7 @@ def main(argv=None):
         full_metrics=args.full_metrics,
         tta=args.tta,
         threshold=args.threshold,
+        threshold_sweep=args.threshold_sweep,
     )
 
 

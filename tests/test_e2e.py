@@ -410,6 +410,39 @@ class TestSlidingWindowEval:
         assert "Average Accuracy:" in out
         assert "Average Sensitivity:" in out and "Average Specificity:" in out
 
+    def test_threshold_sweep_prints_dice_per_cut(self, drive_h5, tmp_path,
+                                                 monkeypatch, capsys):
+        """--threshold-sweep re-binarizes the computed probability maps
+        across cuts and marks the best — the calibration diagnostic the
+        --augment A/B motivated (experiments_record.md)."""
+        import jax
+
+        monkeypatch.chdir(tmp_path)
+        model = create_model("RetinaLiteNet.TransFuseNet")
+        v = jax.jit(lambda r, x: model.init(r, x, True))(
+            jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+        eval_model(
+            model=model,
+            variables={"params": v["params"],
+                       "batch_stats": v.get("batch_stats", {})},
+            input_data=drive_h5["test"]["output_file"],
+            output_dir=str(tmp_path / "preds"),
+            patch_size=32,
+            inference_batch_size=4,
+            visualize=False,
+            compute_auc=False,
+            threshold_sweep=True,
+        )
+        out = capsys.readouterr().out
+        assert "Threshold sweep (mean Dice):" in out
+        assert out.count("threshold 0.") == 9 and "<- best" in out
+        # the headline metric still reflects the --threshold cut (0.5)
+        line05 = [l for l in out.splitlines() if "threshold 0.50" in l][0]
+        d05 = float(line05.split("Dice ")[1].split()[0])
+        headline = [l for l in out.splitlines()
+                    if l.startswith("Average Dice Score:")][0]
+        assert abs(float(headline.split(":")[1]) - d05) < 5e-5
+
 
 class TestSpatialEval:
     def test_spatial_flag_drives_whole_image_forward(self, drive_h5, tmp_path,
