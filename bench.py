@@ -36,8 +36,10 @@ import os
 REF_BASELINE_IMG_PER_SEC = 500.0  # estimated PyTorch single-GPU (see above)
 
 BATCH = int(os.environ.get("BENCH_BATCH", "256"))
-PATCH = 128
-N_LONG = 21
+# BENCH_PATCH exists only for CPU smoke tests of this file (compile time);
+# the driver always runs the 128 default (the reference patch size).
+PATCH = int(os.environ.get("BENCH_PATCH", "128"))
+N_LONG = int(os.environ.get("BENCH_N", "21"))
 
 # Training half of the workload (train.py:47-416 is the reference's primary
 # loop): the PRODUCTION train step — on-device patch sampling + fwd/bwd +

@@ -1,0 +1,43 @@
+"""CPU smoke of the driver-visible benchmark artifact (bench.py).
+
+bench.py is how the round's headline numbers reach the driver; a
+regression there silently costs the measurement.  This runs the REAL
+script in a subprocess at smoke shapes (env knobs exist exactly for
+this) and pins the one-JSON-line contract.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_bench_emits_one_json_line_with_both_workloads():
+    env = dict(os.environ)
+    env.update({
+        "JAX_PLATFORMS": "cpu",
+        "PYTHONPATH": REPO,
+        # smoke shapes: keep CPU compile of the full train step tractable
+        "BENCH_BATCH": "2",
+        "BENCH_PATCH": "32",
+        "BENCH_N": "2",
+        "BENCH_TRAIN_BATCH": "2",
+        "BENCH_TRAIN_N": "2",
+    })
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        capture_output=True, text=True, timeout=1500, env=env,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    lines = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
+    assert len(lines) == 1, out.stdout
+    rec = json.loads(lines[0])
+    # the driver contract
+    for key in ("metric", "value", "unit", "vs_baseline"):
+        assert key in rec, rec
+    assert rec["unit"] == "images/sec/chip"
+    assert rec["value"] > 0 and rec["vs_baseline"] > 0
+    # both halves of the workload (VERDICT r2 item 4)
+    assert rec["train_patches_per_sec"] > 0
