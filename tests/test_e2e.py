@@ -252,7 +252,7 @@ class TestPredictor:
         # same content as uint8 and uint16 yields the same probabilities
         u8 = (rng.rand(48, 40) * 255).astype(np.uint8)
         p16_path = str(tmp_path / "deep.tif")
-        Image.fromarray((u8.astype(np.uint16) * 257), mode="I;16").save(p16_path)
+        Image.fromarray(u8.astype(np.uint16) * 257).save(p16_path)
         p8_path = str(tmp_path / "shallow.png")
         Image.fromarray(u8).save(p8_path)
         m16, m8 = predict_files([p16_path, p8_path], model_path=path,
