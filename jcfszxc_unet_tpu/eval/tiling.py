@@ -118,6 +118,11 @@ def tiled_predict(
     (tiles ride ICI-parallel; the stitch stays replicated).
     """
     n, h, w, _ = images.shape
+    if patch_size > h or patch_size > w:
+        raise ValueError(
+            f"patch_size {patch_size} exceeds the image size {h}x{w}; "
+            f"pass a smaller --patch-size (the 512 default assumes "
+            f"584x565 DRIVE images)")
     grid = build_grid_sample_map(n, h, w, patch_size // 2)
     centers = jnp.asarray(grid)
     patches = extract_patches(images, centers, patch_size)
@@ -161,6 +166,11 @@ def sliding_window_predict(
     patch*(1-overlap), count-averaged; uncovered border pixels stay 0.
     """
     h, w, _ = image.shape
+    if patch_size > h or patch_size > w:
+        raise ValueError(
+            f"patch_size {patch_size} exceeds the image size {h}x{w}; "
+            f"pass a smaller patch size (the reference protocol would "
+            f"silently produce an empty window grid here)")
     step = int(patch_size * (1 - overlap))
     ys = list(range(0, h - patch_size + 1, step))
     xs = list(range(0, w - patch_size + 1, step))

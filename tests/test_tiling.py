@@ -76,6 +76,20 @@ class TestTiledPredict:
                                    rtol=1e-5, atol=1e-6)
         np.testing.assert_allclose(np.asarray(out)[~covered], 0.0)
 
+    def test_patch_larger_than_image_raises(self):
+        """Oversized patch vs image -> clear error, not an empty grid
+        (tiled: ZeroDivisionError; sliding: silent all-zeros before)."""
+        import pytest
+
+        def forward(batch):
+            return jnp.mean(batch, axis=-1, keepdims=True)
+
+        images = jnp.zeros((1, 48, 40, 3), jnp.float32)
+        with pytest.raises(ValueError, match="exceeds the image size"):
+            tiled_predict(forward, images, patch_size=512)
+        with pytest.raises(ValueError, match="exceeds the image size"):
+            sliding_window_predict(forward, images[0], patch_size=512)
+
 
 class TestAUC:
     def test_perfect_separation(self):
