@@ -59,6 +59,7 @@ def eval_model(
     tta: bool = False,
     threshold: float = 0.5,
     threshold_sweep: bool = False,
+    metrics_json: str | None = None,
 ):
     """Tiled evaluation; returns (mean_dice, per_image_dice, mean_auc).
 
@@ -205,6 +206,25 @@ def eval_model(
         print(f"Average Accuracy: {acc:.4f}")
         print(f"Average Sensitivity: {se:.4f}")
         print(f"Average Specificity: {sp:.4f}")
+    if metrics_json:
+        # machine-readable mirror of the stdout metrics (additive; the
+        # evaluate-side companion of train.py --metrics-file)
+        import json as _json
+
+        rec = {
+            "mean_dice": mean_dice,
+            "per_image_dice": [float(d) for d in dice_scores],
+            "threshold": threshold,
+            "n_images": int(n_test),
+        }
+        if aucs:
+            rec["mean_auc"] = float(np.mean(aucs))
+            rec["per_image_auc"] = [float(a) for a in aucs]
+        if cls_rows:
+            rec["accuracy"], rec["sensitivity"], rec["specificity"] = (
+                float(v) for v in np.mean(np.asarray(cls_rows), axis=0))
+        with open(metrics_json, "w") as f:
+            f.write(_json.dumps(rec) + "\n")
     return mean_dice, dice_scores, (float(np.mean(aucs)) if aucs else None)
 
 
@@ -260,6 +280,10 @@ def get_args(argv=None):
                         help="Also report FOV accuracy/sensitivity/"
                              "specificity (DRIVE-literature companions "
                              "to Dice/AUC)")
+    parser.add_argument("--metrics-json", type=str, default=None,
+                        help="Write the final metrics (mean + per-image "
+                             "Dice/AUC, --full-metrics companions) as one "
+                             "JSON object to this path")
     parser.add_argument("--threshold-sweep", action="store_true",
                         help="Also print mean Dice across binarization "
                              "cuts (0.3-0.99) from the same probability "
@@ -318,6 +342,7 @@ def main(argv=None):
         tta=args.tta,
         threshold=args.threshold,
         threshold_sweep=args.threshold_sweep,
+        metrics_json=args.metrics_json,
     )
 
 

@@ -436,6 +436,27 @@ class TestSlidingWindowEval:
         out = capsys.readouterr().out
         assert "Threshold sweep (mean Dice):" in out
         assert out.count("threshold 0.") == 9 and "<- best" in out
+        # --metrics-json companion: machine-readable mirror of stdout
+        import json as _json
+
+        mj = tmp_path / "metrics.json"
+        eval_model(
+            model=model,
+            variables={"params": v["params"],
+                       "batch_stats": v.get("batch_stats", {})},
+            input_data=drive_h5["test"]["output_file"],
+            output_dir=str(tmp_path / "preds"),
+            patch_size=32,
+            inference_batch_size=4,
+            visualize=False,
+            full_metrics=True,
+            metrics_json=str(mj),
+        )
+        rec = _json.loads(mj.read_text())
+        assert set(rec) >= {"mean_dice", "per_image_dice", "mean_auc",
+                            "accuracy", "sensitivity", "specificity"}
+        assert len(rec["per_image_dice"]) == rec["n_images"]
+        capsys.readouterr()
         # the headline metric still reflects the --threshold cut (0.5)
         line05 = [l for l in out.splitlines() if "threshold 0.50" in l][0]
         d05 = float(line05.split("Dice ")[1].split()[0])
