@@ -175,6 +175,7 @@ def eval_model(
                 jnp.asarray(binary), jnp.asarray(labels[i]),
                 jnp.asarray(masks[i]))])
 
+    sweep_rows = None
     if threshold_sweep:
         # Diagnostic: mean Dice across binarization cuts, reusing the
         # probability maps already on the host (re-binarization is free
@@ -196,6 +197,8 @@ def eval_model(
         for th, d in rows:
             mark = "  <- best" if th == best_th else ""
             print(f"  threshold {th:.2f}: Dice {d:.4f}{mark}")
+        sweep_rows = {"rows": rows, "best_threshold": best_th,
+                      "best_dice": best_d}
 
     mean_dice = float(np.mean(dice_scores)) if dice_scores else 0.0
     print(f"Average Dice Score: {mean_dice:.4f}")
@@ -223,6 +226,8 @@ def eval_model(
         if cls_rows:
             rec["accuracy"], rec["sensitivity"], rec["specificity"] = (
                 float(v) for v in np.mean(np.asarray(cls_rows), axis=0))
+        if sweep_rows is not None:
+            rec["threshold_sweep"] = sweep_rows
         with open(metrics_json, "w") as f:
             f.write(_json.dumps(rec) + "\n")
     return mean_dice, dice_scores, (float(np.mean(aucs)) if aucs else None)

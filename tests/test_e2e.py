@@ -450,12 +450,16 @@ class TestSlidingWindowEval:
             inference_batch_size=4,
             visualize=False,
             full_metrics=True,
+            threshold_sweep=True,
             metrics_json=str(mj),
         )
         rec = _json.loads(mj.read_text())
         assert set(rec) >= {"mean_dice", "per_image_dice", "mean_auc",
                             "accuracy", "sensitivity", "specificity"}
         assert len(rec["per_image_dice"]) == rec["n_images"]
+        sweep = rec["threshold_sweep"]
+        assert len(sweep["rows"]) == 9
+        assert sweep["best_dice"] == max(d for _, d in sweep["rows"])
         capsys.readouterr()
         # the headline metric still reflects the --threshold cut (0.5)
         line05 = [l for l in out.splitlines() if "threshold 0.50" in l][0]
