@@ -27,6 +27,13 @@ class MultiResUNet(nn.Module):
     num_classes: int = 1
     alpha: float = 1.67
     dtype: Optional[Any] = None
+    # Additive, off by default: run the narrow-channel full/half-res
+    # blocks (m1/m2/m8/m9 + respath1/2 — 8-53 output channels, 2.5-16x
+    # lane-padding traffic amplification, >=67% of the 6.8%-MFU training
+    # step) in space-to-depth space.  Exact same math and parameter tree
+    # (tests/test_s2d.py pins forward+train parity); hardware verdict:
+    # scripts/tpu_s2d_train_probe.py.
+    s2d: bool = False
 
     @property
     def n_channels(self):
@@ -42,13 +49,13 @@ class MultiResUNet(nn.Module):
         fs = [32, 64, 128, 256, 512]
         ins = [_mrb_out(f, a) for f in fs]  # encoder block output widths
 
-        m1 = Multiresblock(self.input_channels, 32, a, dtype=dt, name="multiresblock1")(x, train)
+        m1 = Multiresblock(self.input_channels, 32, a, dtype=dt, s2d=self.s2d, name="multiresblock1")(x, train)
         p1 = max_pool2d(m1)
-        s1 = Respath(ins[0], 32, 4, dtype=dt, name="respath1")(m1, train)
+        s1 = Respath(ins[0], 32, 4, dtype=dt, s2d=self.s2d, name="respath1")(m1, train)
 
-        m2 = Multiresblock(ins[0], 64, a, dtype=dt, name="multiresblock2")(p1, train)
+        m2 = Multiresblock(ins[0], 64, a, dtype=dt, s2d=self.s2d, name="multiresblock2")(p1, train)
         p2 = max_pool2d(m2)
-        s2 = Respath(ins[1], 64, 3, dtype=dt, name="respath2")(m2, train)
+        s2 = Respath(ins[1], 64, 3, dtype=dt, s2d=self.s2d, name="respath2")(m2, train)
 
         m3 = Multiresblock(ins[1], 128, a, dtype=dt, name="multiresblock3")(p2, train)
         p3 = max_pool2d(m3)
@@ -69,11 +76,11 @@ class MultiResUNet(nn.Module):
             jnp.concatenate([u7, s3], axis=-1), train
         )
         u8 = ConvTranspose2d(_mrb_out(128, a), 64, 2, stride=2, dtype=dt, name="upsample8")(m7)
-        m8 = Multiresblock(64 * 2, 64, a, dtype=dt, name="multiresblock8")(
+        m8 = Multiresblock(64 * 2, 64, a, dtype=dt, s2d=self.s2d, name="multiresblock8")(
             jnp.concatenate([u8, s2], axis=-1), train
         )
         u9 = ConvTranspose2d(_mrb_out(64, a), 32, 2, stride=2, dtype=dt, name="upsample9")(m8)
-        m9 = Multiresblock(32 * 2, 32, a, dtype=dt, name="multiresblock9")(
+        m9 = Multiresblock(32 * 2, 32, a, dtype=dt, s2d=self.s2d, name="multiresblock9")(
             jnp.concatenate([u9, s1], axis=-1), train
         )
         return Conv2dBatchnorm(_mrb_out(32, a), self.num_classes, (1, 1),

@@ -33,15 +33,38 @@ class _DoubleConvBias(nn.Module):
     in_ch: int
     out_ch: int
     dtype: Optional[Any] = None
+    # Space-to-depth execution (ops/s2d.py): the 32/64-ch rows run with
+    # 4x better lane fill; in s2d space the producers are >=128-ch
+    # aligned, so a plain concat replaces the split-kernel path.  Same
+    # parameters, exact math (tests/test_s2d.py).
+    s2d: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = True):
-        x = Conv2d(self.in_ch, self.out_ch, 3, padding=1, dtype=self.dtype)(x)
-        x = BatchNorm2d(self.out_ch, dtype=self.dtype)(x, train)
+        ref = x[0] if isinstance(x, (tuple, list)) else x
+        use_s2d = (self.s2d and ref.shape[1] % 2 == 0
+                   and ref.shape[2] % 2 == 0)
+        if use_s2d:
+            from jcfszxc_unet_tpu.ops.s2d import (
+                depth_to_space,
+                space_to_depth,
+            )
+            if isinstance(x, (tuple, list)):
+                x = tuple(space_to_depth(t) for t in x)
+            else:
+                x = space_to_depth(x)
+        pg = 4 if use_s2d else 1
+        x = Conv2d(self.in_ch, self.out_ch, 3, padding=1, dtype=self.dtype,
+                   s2d_space=use_s2d)(x)
+        x = BatchNorm2d(self.out_ch, dtype=self.dtype, phase_groups=pg)(x, train)
         x = nn.relu(x)
-        x = Conv2d(self.out_ch, self.out_ch, 3, padding=1, dtype=self.dtype)(x)
-        x = BatchNorm2d(self.out_ch, dtype=self.dtype)(x, train)
-        return nn.relu(x)
+        x = Conv2d(self.out_ch, self.out_ch, 3, padding=1, dtype=self.dtype,
+                   s2d_space=use_s2d)(x)
+        x = BatchNorm2d(self.out_ch, dtype=self.dtype, phase_groups=pg)(x, train)
+        x = nn.relu(x)
+        if use_s2d:
+            x = depth_to_space(x)
+        return x
 
 
 class NestedUNet(nn.Module):
@@ -49,6 +72,11 @@ class NestedUNet(nn.Module):
     out_channel: int = 1
     deepsupervision: bool = False
     dtype: Optional[Any] = None
+    # Additive, off by default: run rows 0/1 (the 32/64-ch full/half-res
+    # nodes — the x0 row alone is 73% of the 8.7%-MFU training step) in
+    # space-to-depth space.  Exact math, same parameter tree
+    # (tests/test_s2d.py); hardware verdict: scripts/tpu_s2d_train_probe.py.
+    s2d: bool = False
 
     @property
     def n_channels(self):
@@ -73,7 +101,11 @@ class NestedUNet(nn.Module):
         tup = lambda *ts: tuple(ts)
 
         def dc(name, cin, cout):
-            return _DoubleConvBias(cin, cout, dtype=dt, name=name)
+            # s2d only pays off where channels under-fill the 128 lanes:
+            # rows 0 (32 ch @ full res) and 1 (64 ch @ half res).
+            s2d = self.s2d and (name.startswith("conv0_")
+                                or name.startswith("conv1_"))
+            return _DoubleConvBias(cin, cout, dtype=dt, s2d=s2d, name=name)
 
         x0_0 = dc("conv0_0", self.in_channel, nb[0])(x, train)
         x1_0 = dc("conv1_0", nb[0], nb[1])(max_pool2d(x0_0), train)

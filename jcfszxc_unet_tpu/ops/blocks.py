@@ -599,19 +599,26 @@ class FRBlock(nn.Module):
 
 class Conv2dBatchnorm(nn.Module):
     """Conv("same") -> BN -> optional ReLU — the reference's
-    ``Conv2d_batchnorm`` (unet_parts.py:617-656)."""
+    ``Conv2d_batchnorm`` (unet_parts.py:617-656).
+
+    ``s2d=True``: input/output are space-to-depth tensors (ops/s2d.py);
+    same parameters, exact same math, 4x better lane fill on the
+    narrow-channel full-res stages (the training slow tail's binding
+    resource, experiments_record.md round 3)."""
 
     num_in_filters: int
     num_out_filters: int
     kernel_size: Tuple[int, int]
     activation: str = "relu"
     dtype: Optional[Dtype] = None
+    s2d: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         x = Conv2d(self.num_in_filters, self.num_out_filters, self.kernel_size,
-                   padding="same", dtype=self.dtype)(x)
-        x = BatchNorm2d(self.num_out_filters, dtype=self.dtype)(x, train)
+                   padding="same", dtype=self.dtype, s2d_space=self.s2d)(x)
+        x = BatchNorm2d(self.num_out_filters, dtype=self.dtype,
+                        phase_groups=4 if self.s2d else 1)(x, train)
         if self.activation == "relu":
             return nn.relu(x)
         return x
@@ -626,6 +633,12 @@ class Multiresblock(nn.Module):
     num_filters: int
     alpha: float = 1.67
     dtype: Optional[Dtype] = None
+    # Execute in space-to-depth space (ops/s2d.py): exact same math and
+    # parameters, 4x better lane fill for the narrow (8-53 ch) full-res
+    # instances that dominate MultiResUNet's training step (round-3
+    # attribution: m8+m9 = 67% of the 6.8%-MFU step).  Falls back to the
+    # plain path when the spatial dims are odd (static shapes under jit).
+    s2d: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -634,16 +647,30 @@ class Multiresblock(nn.Module):
         f5 = int(W * 0.333)
         f7 = int(W * 0.5)
         out_f = f3 + f5 + f7
+        use_s2d = (self.s2d and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0)
+        if use_s2d:
+            from jcfszxc_unet_tpu.ops.s2d import depth_to_space, space_to_depth
+            x = space_to_depth(x)
+        pg = 4 if use_s2d else 1
         shortcut = Conv2dBatchnorm(self.num_in_channels, out_f, (1, 1),
-                                   activation="None", dtype=self.dtype)(x, train)
-        a = Conv2dBatchnorm(self.num_in_channels, f3, (3, 3), dtype=self.dtype)(x, train)
-        b = Conv2dBatchnorm(f3, f5, (3, 3), dtype=self.dtype)(a, train)
-        c = Conv2dBatchnorm(f5, f7, (3, 3), dtype=self.dtype)(b, train)
+                                   activation="None", dtype=self.dtype,
+                                   s2d=use_s2d)(x, train)
+        a = Conv2dBatchnorm(self.num_in_channels, f3, (3, 3), dtype=self.dtype,
+                            s2d=use_s2d)(x, train)
+        b = Conv2dBatchnorm(f3, f5, (3, 3), dtype=self.dtype,
+                            s2d=use_s2d)(a, train)
+        c = Conv2dBatchnorm(f5, f7, (3, 3), dtype=self.dtype,
+                            s2d=use_s2d)(b, train)
+        # c-major phase layout: channel-concat of s2d tensors IS the s2d
+        # of the concat, so this line serves both paths unchanged.
         y = jnp.concatenate([a, b, c], axis=-1)
-        y = BatchNorm2d(out_f, dtype=self.dtype)(y, train)
+        y = BatchNorm2d(out_f, dtype=self.dtype, phase_groups=pg)(y, train)
         y = y + shortcut
-        y = BatchNorm2d(out_f, dtype=self.dtype)(y, train)
-        return nn.relu(y)
+        y = BatchNorm2d(out_f, dtype=self.dtype, phase_groups=pg)(y, train)
+        y = nn.relu(y)
+        if use_s2d:
+            y = depth_to_space(y)
+        return y
 
 
 class Respath(nn.Module):
@@ -656,20 +683,34 @@ class Respath(nn.Module):
     num_out_filters: int
     respath_length: int
     dtype: Optional[Dtype] = None
+    # Space-to-depth execution (see Multiresblock.s2d): the whole chain
+    # stays in s2d space, so the entry/exit transforms amortize over
+    # respath_length residual units.
+    s2d: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = True):
+        use_s2d = (self.s2d and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0)
+        if use_s2d:
+            from jcfszxc_unet_tpu.ops.s2d import depth_to_space, space_to_depth
+            x = space_to_depth(x)
         for i in range(self.respath_length):
             in_f = self.num_in_filters if i == 0 else self.num_out_filters
             shortcut = Conv2dBatchnorm(in_f, self.num_out_filters, (1, 1),
                                        activation="None", dtype=self.dtype,
+                                       s2d=use_s2d,
                                        name=f"shortcut_{i}")(x, train)
             x = Conv2dBatchnorm(in_f, self.num_out_filters, (3, 3),
-                                dtype=self.dtype, name=f"conv_{i}")(x, train)
-            bn = BatchNorm2d(self.num_out_filters, dtype=self.dtype, name=f"bn_{i}")
+                                dtype=self.dtype, s2d=use_s2d,
+                                name=f"conv_{i}")(x, train)
+            bn = BatchNorm2d(self.num_out_filters, dtype=self.dtype,
+                             phase_groups=4 if use_s2d else 1,
+                             name=f"bn_{i}")
             x = nn.relu(bn(x, train))
             x = x + shortcut
             x = nn.relu(bn(x, train))
+        if use_s2d:
+            x = depth_to_space(x)
         return x
 
 

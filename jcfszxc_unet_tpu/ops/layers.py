@@ -32,10 +32,35 @@ def _pair(v) -> Tuple[int, int]:
     return (int(v), int(v))
 
 
+class _ConvParams(nn.Module):
+    """Declares kernel/bias exactly like flax nn.Conv at the same tree
+    path — shared by the split-kernel and s2d apply paths so weight
+    transplant and ``.pth`` import see one canonical layout."""
+
+    shape: Tuple[int, ...]
+    use_bias: bool
+    fan_in: int
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", tinit.conv_kernel_init, self.shape,
+                       jnp.float32)
+        b = (self.param("bias", tinit.conv_bias_init_for(self.fan_in),
+                        (self.shape[-1],), jnp.float32)
+             if self.use_bias else None)
+        return k, b
+
+
 class Conv2d(nn.Module):
     """torch.nn.Conv2d equivalent on NHWC tensors.
 
     ``padding`` accepts an int (symmetric), a pair, or "same".
+
+    ``s2d_space=True`` applies the SAME parameters in space-to-depth
+    space (ops/s2d.py): the input is (B, H/2, W/2, 4*in_channels) in
+    c-major phase layout and the output keeps that form.  Exact math
+    (tests/test_s2d.py); requires stride 1, dilation 1, groups 1, odd
+    square kernel, SAME-equivalent padding.
     """
 
     in_channels: int
@@ -47,6 +72,7 @@ class Conv2d(nn.Module):
     groups: int = 1
     use_bias: bool = True
     dtype: Optional[Dtype] = None
+    s2d_space: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -57,6 +83,8 @@ class Conv2d(nn.Module):
             ph, pw = _pair(self.padding)
             padding = [(ph, ph), (pw, pw)]
         fan_in = (self.in_channels // self.groups) * kh * kw
+        if self.s2d_space:
+            return self._s2d_apply(x, (kh, kw), fan_in)
         if isinstance(x, (tuple, list)):
             return self._split_apply(x, (kh, kw), padding, fan_in)
         conv = nn.Conv(
@@ -95,21 +123,6 @@ class Conv2d(nn.Module):
         # a bf16 input to f32 exactly like the fused nn.Conv path would
         dtype = self.dtype or jnp.result_type(
             jnp.float32, *[x.dtype for x in xs])
-
-        class _ConvParams(nn.Module):
-            shape: Tuple[int, ...]
-            use_bias: bool
-            fan_in: int
-
-            @nn.compact
-            def __call__(self):
-                k = self.param("kernel", tinit.conv_kernel_init, self.shape,
-                               jnp.float32)
-                b = (self.param("bias", tinit.conv_bias_init_for(self.fan_in),
-                                (self.shape[-1],), jnp.float32)
-                     if self.use_bias else None)
-                return k, b
-
         kernel, bias = _ConvParams(
             (kh, kw, self.in_channels, self.out_channels),
             self.use_bias, fan_in, name="conv")()
@@ -140,6 +153,38 @@ class Conv2d(nn.Module):
                 f"expected {self.in_channels}")
         if bias is not None:
             out = out + bias.astype(dtype)
+        return out
+
+    def _s2d_apply(self, x, ksize, fan_in):
+        """Apply in space-to-depth space: the (k,k,Ci,Co) parameters are
+        transformed to their exact s2d equivalent (ops/s2d.s2d_kernel) at
+        trace time (a tiny static-selector einsum) and convolved against
+        the (B, H/2, W/2, 4*Ci) input."""
+        from jcfszxc_unet_tpu.ops.s2d import conv_s2d, expand_vector, s2d_kernel
+
+        kh, kw = ksize
+        if kh != kw or kh % 2 == 0:
+            raise ValueError(
+                f"s2d conv needs an odd square kernel, got {kh}x{kw}")
+        if (self.groups != 1 or _pair(self.stride) != (1, 1)
+                or _pair(self.dilation) != (1, 1)):
+            raise ValueError("s2d conv requires stride/dilation 1, groups 1")
+        if isinstance(self.padding, str):
+            same = self.padding.upper() == "SAME"
+        else:
+            same = _pair(self.padding) == (kh // 2, kw // 2)
+        if not same:
+            raise ValueError("s2d conv requires SAME-equivalent padding")
+        if isinstance(x, (tuple, list)):
+            # parts are already s2d tensors; c-major concat is native
+            x = jnp.concatenate(x, axis=-1)
+        dtype = self.dtype or jnp.result_type(jnp.float32, x.dtype)
+        kernel, bias = _ConvParams(
+            (kh, kw, self.in_channels, self.out_channels),
+            self.use_bias, fan_in, name="conv")()
+        out = conv_s2d(x.astype(dtype), s2d_kernel(kernel.astype(dtype)))
+        if bias is not None:
+            out = out + expand_vector(bias.astype(dtype))
         return out
 
 
@@ -231,10 +276,16 @@ class _TorchBatchNorm(nn.Module):
     eps: float
     momentum: float  # torch convention: running <- (1-m)*running + m*batch
     dtype: Optional[Dtype] = None
+    # >1: the input is a space-to-depth tensor (ops/s2d.py, c-major phase
+    # layout) whose last axis is num_features*phase_groups; statistics are
+    # per ORIGINAL channel and running stats update exactly as they would
+    # on the un-transformed tensor (same batch statistics, same n).
+    phase_groups: int = 1
 
     @nn.compact
     def __call__(self, x, use_running_average: bool):
         c = self.num_features
+        g = self.phase_groups
         scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
         ra_mean = self.variable(
@@ -244,10 +295,15 @@ class _TorchBatchNorm(nn.Module):
             "batch_stats", "var", lambda: jnp.ones((c,), jnp.float32)
         )
         reduce_axes = tuple(range(x.ndim - 1))
+
+        def _ex(v):
+            # per-channel vector -> last-axis layout (tiled over phases)
+            return jnp.repeat(v, g) if g > 1 else v
+
         # Statistics in at least f32 (bf16 inputs are promoted; f64 stays
         # f64 so double-precision runs are not silently degraded).
         stat_dtype = jnp.promote_types(x.dtype, jnp.float32)
-        shape = (1,) * (x.ndim - 1) + (c,)
+        shape = (1,) * (x.ndim - 1) + (c * g,)
         if use_running_average:
             # Eval fast path: fold stats+affine into ONE per-channel
             # multiply-add computed in f32 but *applied* in the compute
@@ -257,22 +313,35 @@ class _TorchBatchNorm(nn.Module):
             out_dtype = self.dtype or x.dtype
             inv = jax.lax.rsqrt(ra_var.value + self.eps) * scale
             beta = bias - ra_mean.value * inv
-            y = x.astype(out_dtype) * inv.astype(out_dtype).reshape(shape)
-            return y + beta.astype(out_dtype).reshape(shape)
+            y = x.astype(out_dtype) * _ex(inv).astype(out_dtype).reshape(shape)
+            return y + _ex(beta).astype(out_dtype).reshape(shape)
         else:
             xf = x.astype(stat_dtype)
-            mean = jnp.mean(xf, axis=reduce_axes)
+            if g > 1:
+                xg = xf.reshape(xf.shape[:-1] + (c, g))
+                g_axes = tuple(range(xg.ndim - 2)) + (xg.ndim - 1,)
+                mean = jnp.mean(xg, axis=g_axes)
+            else:
+                mean = jnp.mean(xf, axis=reduce_axes)
             if TRAIN_BN_ONE_PASS_STATS:
                 # One fused traversal: XLA computes sum(x) and sum(x^2)
                 # in the same pass.  Clamp guards the E[x^2]-E[x]^2
                 # subtraction against tiny negative results.
-                mean2 = jnp.mean(jnp.square(xf), axis=reduce_axes)
+                if g > 1:
+                    mean2 = jnp.mean(jnp.square(xg), axis=g_axes)
+                else:
+                    mean2 = jnp.mean(jnp.square(xf), axis=reduce_axes)
                 var = jnp.maximum(mean2 - jnp.square(mean), 0.0)
             else:
                 # Two-pass variance: exact even when |mean| >> std
                 # (E[x^2]-E[x]^2 cancels catastrophically there).
-                var = jnp.mean(jnp.square(xf - mean.reshape(shape)),
-                               axis=reduce_axes)
+                if g > 1:
+                    mshape = (1,) * (xg.ndim - 2) + (c, 1)
+                    var = jnp.mean(jnp.square(xg - mean.reshape(mshape)),
+                                   axis=g_axes)
+                else:
+                    var = jnp.mean(jnp.square(xf - mean.reshape(shape)),
+                                   axis=reduce_axes)
             if not self.is_initializing():
                 n = x.size // c
                 bessel = n / max(n - 1, 1)
@@ -289,10 +358,11 @@ class _TorchBatchNorm(nn.Module):
             # into the producing conv's epilogue (same trick as the eval
             # fast path above; constants stay f32).
             beta = bias.astype(stat_dtype) - mean * inv
-            y = x.astype(out_dtype) * inv.astype(out_dtype).reshape(shape)
-            return y + beta.astype(out_dtype).reshape(shape)
-        y = (x.astype(stat_dtype) - mean.reshape(shape)) * inv.reshape(shape)
-        y = y + bias.reshape(shape).astype(stat_dtype)
+            y = x.astype(out_dtype) * _ex(inv).astype(out_dtype).reshape(shape)
+            return y + _ex(beta).astype(out_dtype).reshape(shape)
+        y = (x.astype(stat_dtype) - _ex(mean).reshape(shape)) \
+            * _ex(inv).reshape(shape)
+        y = y + _ex(bias).reshape(shape).astype(stat_dtype)
         return y.astype(out_dtype)
 
 
@@ -309,6 +379,7 @@ class BatchNorm2d(nn.Module):
     eps: float = 1e-5
     momentum: float = 0.1  # torch convention
     dtype: Optional[Dtype] = None
+    phase_groups: int = 1  # >1: s2d input (see _TorchBatchNorm)
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -317,6 +388,7 @@ class BatchNorm2d(nn.Module):
             eps=self.eps,
             momentum=self.momentum,
             dtype=self.dtype,
+            phase_groups=self.phase_groups,
             name="bn",
         )
         return bn(x, use_running_average=not train)

@@ -1,0 +1,153 @@
+"""Space-to-depth execution space for narrow-channel full-resolution blocks.
+
+Round-3 prefix attribution (experiments_record.md, scripts/
+tpu_train_prefix_profile.py + tpu_mres_block_iso.py) proved the training
+slow tail's binding resource is NOT the MXU: it is HBM/VPU traffic
+amplification on lane-padded tensors.  A (B, 128, 128, 8) bf16 activation
+is 32 MB logically but 512 MB physically once the 8 channels pad to the
+(8, 128) tile's 128 lanes, and every BN/concat/shortcut pass over it
+(77% of a Multiresblock's fwd+bwd cost) pays the 16x.
+
+The classic TPU answer — the conv space-to-depth transform used for
+ResNet stems in public MLPerf TPU submissions — reshapes once into
+(B, H/2, W/2, 4C) space where the SAME math runs with 4x better lane
+fill, and reshapes back once at the end of the narrow trunk:
+
+  * stride-1 odd-k convs have an EXACT s2d-space equivalent: a conv with
+    kernel built from the original weights (``s2d_kernel``); 4x the
+    logical FLOPs, but these stages run at 6-25% lane-padding ceilings,
+    so MXU time is ~flat while every elementwise/BN/concat pass moves
+    4x less physical data;
+  * BN statistics per ORIGINAL channel are a reshaped reduce
+    (``bn_stats``), scale/shift vectors tile 4x (``expand_vector``);
+  * channel concat is NATIVE in the c-major phase layout used here
+    (s2d channel index = c*4 + p): concatenating two s2d tensors IS the
+    s2d of the concatenation;
+  * 2x2/stride-2 max pooling is a phase-max that simultaneously exits
+    s2d space (``maxpool_exit``).
+
+This module is the measured-decision candidate for the
+MultiResUNet/NestedUNet slow tail (6.8%/8.7% training MFU, both
+dominated >=67% by narrow full-res stages); scripts/tpu_s2d_block_probe.py
+carries the hardware verdict.  Exact parity with the plain formulation is
+pinned by tests/test_s2d.py.
+
+Layout convention (c-major): s2d channel index = c * 4 + p where
+p = a * 2 + b, (a, b) = (row, col) phase of the 2x2 block.  Chosen over
+p-major because concat along channels then needs no permutation.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def space_to_depth(x: jnp.ndarray) -> jnp.ndarray:
+    """(B, H, W, C) -> (B, H/2, W/2, 4C), c-major phase layout.
+
+    H and W must be even (the DRIVE training patches are 128^2; callers
+    at odd sizes must pad first).
+    """
+    b, h, w, c = x.shape
+    if h % 2 or w % 2:
+        raise ValueError(f"space_to_depth needs even H, W; got {h}x{w}")
+    x = x.reshape(b, h // 2, 2, w // 2, 2, c)
+    x = x.transpose(0, 1, 3, 5, 2, 4)              # (B, h, w, C, a, b)
+    return x.reshape(b, h // 2, w // 2, c * 4)
+
+
+def depth_to_space(x: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of :func:`space_to_depth`."""
+    b, h, w, c4 = x.shape
+    if c4 % 4:
+        raise ValueError(f"channel dim {c4} is not a multiple of 4")
+    c = c4 // 4
+    x = x.reshape(b, h, w, c, 2, 2)
+    x = x.transpose(0, 1, 4, 2, 5, 3)              # (B, h, a, w, b, C)
+    return x.reshape(b, h * 2, w * 2, c)
+
+
+@functools.lru_cache(maxsize=None)
+def _selector(k: int):
+    """Static 0/1 tensor S[K, L, q, p, u, v] wiring original tap (u, v)
+    into s2d tap (K, L) for output phase q and input phase p.
+
+    Derivation: y[2i+a, 2j+b] = sum_{u,v} w[u, v] * x[2i+a+u', 2j+b+v']
+    (u' = u - r the signed offset); the source pixel 2i+a+u' sits at s2d
+    row i + floor((a+u')/2), phase (a+u') mod 2 — each (a, u) pair maps
+    to exactly one (delta, c).
+    """
+    if k % 2 == 0:
+        raise ValueError(f"s2d_kernel supports odd kernel sizes, got {k}")
+    r = k // 2
+    big_r = (r + 1) // 2
+    kk = 2 * big_r + 1
+    sel = np.zeros((kk, kk, 4, 4, k, k), np.float32)
+    for a in (0, 1):
+        for b in (0, 1):
+            q = a * 2 + b
+            for u in range(k):
+                au = a + (u - r)
+                di, c = au >> 1, au & 1
+                for v in range(k):
+                    bv = b + (v - r)
+                    dj, d = bv >> 1, bv & 1
+                    sel[di + big_r, dj + big_r, q, c * 2 + d, u, v] = 1.0
+    return sel
+
+
+def s2d_kernel(w: jnp.ndarray) -> jnp.ndarray:
+    """HWIO kernel (k, k, Ci, Co), odd k, stride 1 -> the exact
+    s2d-space equivalent (k', k', 4Ci, 4Co), k' = 2*((k//2+1)//2)+1
+    (3x3 and 5x5 both map to 3x3; 1x1 maps to 1x1)."""
+    k = w.shape[0]
+    if w.shape[1] != k:
+        raise ValueError(f"square kernels only, got {w.shape[:2]}")
+    sel = jnp.asarray(_selector(k), w.dtype)
+    ws = jnp.einsum("KLqpuv,uvio->KLipoq", sel, w)
+    kk = sel.shape[0]
+    return ws.reshape(kk, kk, w.shape[2] * 4, w.shape[3] * 4)
+
+
+def expand_vector(v: jnp.ndarray) -> jnp.ndarray:
+    """Per-channel vector (C,) -> s2d per-channel vector (4C,), c-major."""
+    return jnp.repeat(v, 4)
+
+
+def conv_s2d(x: jnp.ndarray, w_s2d: jnp.ndarray) -> jnp.ndarray:
+    """SAME stride-1 conv in s2d space (kernel from :func:`s2d_kernel`)."""
+    return jax.lax.conv_general_dilated(
+        x, w_s2d, (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+def bn_stats(x_s2d: jnp.ndarray, stat_dtype=jnp.float32):
+    """Per-ORIGINAL-channel batch mean/var of an s2d tensor.
+
+    One fused traversal (E[x^2] - E[x]^2, clamped), matching the
+    production default ``ops.layers.TRAIN_BN_ONE_PASS_STATS``.
+    """
+    b, h, w, c4 = x_s2d.shape
+    xf = x_s2d.astype(stat_dtype).reshape(b, h, w, c4 // 4, 4)
+    mean = xf.mean(axis=(0, 1, 2, 4))
+    mean_sq = (xf * xf).mean(axis=(0, 1, 2, 4))
+    var = jnp.maximum(mean_sq - mean * mean, 0.0)
+    return mean, var
+
+
+def maxpool_exit(x_s2d: jnp.ndarray) -> jnp.ndarray:
+    """2x2/stride-2 max pool == max over the 4 phases; the result is the
+    pooled tensor at ORIGINAL (H/2, W/2, C) layout — exits s2d space."""
+    b, h, w, c4 = x_s2d.shape
+    return x_s2d.reshape(b, h, w, c4 // 4, 4).max(axis=4)
+
+
+def avgpool_exit(x_s2d: jnp.ndarray) -> jnp.ndarray:
+    """2x2/stride-2 average pool (phase mean); exits s2d space."""
+    b, h, w, c4 = x_s2d.shape
+    return x_s2d.reshape(b, h, w, c4 // 4, 4).mean(axis=4)

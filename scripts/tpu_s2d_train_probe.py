@@ -1,0 +1,101 @@
+#!/usr/bin/env python
+"""Measure space-to-depth execution (create_model(..., s2d=True) —
+ops/s2d.py) vs the plain path on FULL production train steps for the two
+slow-tail models it targets, with UNet as the drift control.
+
+Motivation (round-3 attribution): MultiResUNet's m8+m9 are 67% and
+NestedUNet's x0 row 73% of their training steps, bound by lane-padding
+traffic amplification (8-53 ch pad to 128 lanes -> 2.5-16x physical
+bytes per BN/concat/shortcut pass).  In s2d space the same math runs at
+4x better lane fill; tests/test_s2d.py pins exact parity (eval + train
++ running stats).  The loss printed per variant must match to bf16
+noise — it is the in-run correctness check.
+
+Within-run comparison, same methodology as tpu_bn_onepass_train.py.
+
+Run:
+  PYTHONPATH=/root/.axon_site:/root/repo python scripts/tpu_s2d_train_probe.py
+Env: S2DT_BATCH (128), S2DT_MODELS, S2DT_N (6).
+"""
+
+import os
+import time
+
+import numpy as np
+
+BATCH = int(os.environ.get("S2DT_BATCH", "128"))
+PATCH = int(os.environ.get("S2DT_PATCH", "128"))
+N_LONG = int(os.environ.get("S2DT_N", "6"))
+MODELS = os.environ.get(
+    "S2DT_MODELS",
+    "UNet.UNet,MultiResUNet.MultiResUNet,UNetPP.NestedUNet").split(",")
+# UNet has no s2d flag — it is the control and only runs plain.
+HAS_S2D = {"MultiResUNet.MultiResUNet", "UNetPP.NestedUNet"}
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from jcfszxc_unet_tpu.data.sampler import build_train_sample_map
+    from jcfszxc_unet_tpu.models import create_model
+    from jcfszxc_unet_tpu.train.optim import make_optimizer
+    from jcfszxc_unet_tpu.train.state import create_train_state
+    from jcfszxc_unet_tpu.train.trainer import make_epoch_fn
+    from jcfszxc_unet_tpu.utils.cache import enable_persistent_compile_cache
+
+    enable_persistent_compile_cache()
+
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(rng.rand(2, 256, 256, 3), jnp.float32)
+    labels = jnp.asarray((rng.rand(2, 256, 256, 1) > 0.8), jnp.float32)
+    smap = jnp.asarray(
+        build_train_sample_map(np.ones((2, 256, 256), np.float32),
+                               PATCH // 2))
+
+    print(f"batch {BATCH}, patch {PATCH}, bf16", flush=True)
+    for name in MODELS:
+        variants = [("plain", False)]
+        if name in HAS_S2D:
+            variants.append(("s2d", True))
+        for variant, flag in variants:
+            try:
+                kwargs = {"s2d": True} if flag else {}
+                model = create_model(name, dtype=jnp.bfloat16, **kwargs)
+                tx = make_optimizer(1e-4)
+                state = create_train_state(
+                    model, tx, jax.random.PRNGKey(0),
+                    jnp.zeros((1, PATCH, PATCH, 3), jnp.bfloat16))
+                copy_state = jax.jit(
+                    lambda s: jax.tree.map(lambda a: a + 0, s))
+                key = jax.random.PRNGKey(1)
+
+                def make(steps):
+                    return make_epoch_fn(
+                        model, tx, n_classes=model.n_classes,
+                        batch_size=BATCH, patch_size=PATCH, steps=steps,
+                        compute_dtype=jnp.bfloat16)
+
+                e1, eN = make(1), make(N_LONG)
+
+                def run(fn):
+                    s, m = fn(copy_state(state), images, labels, smap, key)
+                    return float(m["epoch_loss"])
+
+                l1 = run(e1); run(eN)
+                t0 = time.perf_counter(); run(e1)
+                t1 = time.perf_counter() - t0
+                t0 = time.perf_counter(); run(eN)
+                t2 = time.perf_counter() - t0
+                per = (t2 - t1) / (N_LONG - 1)
+                print(f"{name} [{variant}]: {per*1e3:8.2f} ms/step "
+                      f"{BATCH/per:8.1f} patches/s  (loss {l1:.5f})",
+                      flush=True)
+            except Exception as e:
+                print(f"{name} [{variant}]: FAIL {type(e).__name__}: "
+                      f"{str(e)[:140]}", flush=True)
+    print("DONE", flush=True)
+
+
+if __name__ == "__main__":
+    main()
