@@ -254,6 +254,53 @@ class TestModelIntegration:
     def test_nested_unet(self):
         self._check_model("UNetPP.NestedUNet")
 
+    def test_production_train_step_trajectory(self):
+        """Output parity does not imply GRADIENT parity: run 3 production
+        train steps (fwd/bwd + clip + RMSprop + NaN guard) for plain vs
+        s2d MultiResUNet from identical state and require matching loss
+        trajectories and final params."""
+        import jax
+        from jcfszxc_unet_tpu.models import create_model
+        from jcfszxc_unet_tpu.train.optim import make_optimizer
+        from jcfszxc_unet_tpu.train.state import create_train_state
+        from jcfszxc_unet_tpu.train.trainer import make_batch_step_fn
+
+        rng = np.random.RandomState(13)
+        imgs = jnp.asarray(rng.rand(3, 2, 32, 32, 3), jnp.float32)
+        labs = jnp.asarray((rng.rand(3, 2, 32, 32, 1) > 0.7), jnp.float32)
+
+        # lr = the reference default 1e-6 (as in
+        # test_train_step_torch_parity): torch-RMSprop's first step is
+        # ~lr*3.16*sign(g), so at large lr any rounding-level gradient
+        # difference on noise-gradient params flips signs and the
+        # trajectories diverge chaotically — an optimizer property, not
+        # an s2d defect.
+        losses, finals = [], []
+        for flag in (False, True):
+            model = create_model("MultiResUNet.MultiResUNet", s2d=flag)
+            tx = make_optimizer(1e-6)
+            state = create_train_state(model, tx, jax.random.PRNGKey(0),
+                                       jnp.zeros((1, 32, 32, 3), jnp.float32))
+            step = make_batch_step_fn(model, tx, n_classes=model.n_classes)
+            traj = []
+            for i in range(3):
+                state, loss, ok = step(state, imgs[i], labs[i],
+                                       jax.random.PRNGKey(i))
+                traj.append(float(loss))
+                assert bool(ok)
+            losses.append(traj)
+            finals.append(state.params)
+        np.testing.assert_allclose(losses[1], losses[0], rtol=1e-4)
+        for (pa, la), (pb, lb) in zip(
+                jax.tree_util.tree_leaves_with_path(finals[0]),
+                jax.tree_util.tree_leaves_with_path(finals[1])):
+            assert pa == pb
+            # per-step updates are ~3.16*lr (amplified ~3x over 3 steps by
+            # the 0.999-momentum buffer); allow isolated sign flips on
+            # rounding-noise gradients but nothing at real-defect scale
+            np.testing.assert_allclose(np.asarray(lb), np.asarray(la),
+                                       rtol=0, atol=1e-4, err_msg=str(pa))
+
     def test_odd_input_falls_back(self):
         """A flagged block at odd spatial dims silently uses the plain
         path (identical params), so arbitrary eval geometries still work."""
