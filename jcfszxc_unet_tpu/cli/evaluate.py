@@ -252,6 +252,12 @@ def get_args(argv=None):
                         help="Whole-image spatially-partitioned forward over "
                              "the device mesh (no tiling/stitching; H axis "
                              "sharded, halo exchanges over ICI)")
+    parser.add_argument("--s2d", action="store_true",
+                        help="Run the narrow-channel full-res blocks in "
+                             "space-to-depth space (exact same math; "
+                             "MultiResUNet/NestedUNet/FRUNet only).  Any "
+                             "checkpoint of a supporting model can opt in — "
+                             "the parameter tree is unchanged")
     parser.add_argument("--sliding-window", action="store_true",
                         help="Use the sliding-window predictor "
                              "(predict_full_image protocol) driven by "
@@ -320,8 +326,23 @@ def main(argv=None):
     compute_dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     # Accepts framework checkpoints AND reference whole-module .pth files
     # (evaluate.py:421's torch.load contract).
-    model, variables, _ = ckpt.load_model_any(
+    model, variables, config = ckpt.load_model_any(
         args.model, dtype=compute_dtype, patch_size=args.patch_size)
+    if args.s2d and not getattr(model, "s2d", False):
+        # Execution mode, not architecture: the parameter tree is
+        # identical, so any checkpoint of a supporting model can opt in
+        # at eval time (checkpoints trained with --s2d already carry it).
+        from jcfszxc_unet_tpu.models import create_model
+
+        try:
+            model = create_model(
+                config["model_name"], dtype=compute_dtype,
+                **{**config["model_kwargs"], "s2d": True})
+        except TypeError:
+            raise SystemExit(
+                f"--s2d is not supported by {config['model_name']}; "
+                "supported: MultiResUNet.MultiResUNet, UNetPP.NestedUNet, "
+                "FRUNet.FRUNet")
     from jcfszxc_unet_tpu.parallel.mesh import make_mesh
 
     n_dev = args.devices or len(jax.devices())

@@ -399,6 +399,12 @@ def get_args(argv=None):
                         help="Per-sample random flips/90-degree rotations on "
                              "training patches (on-device; additive — the "
                              "reference trains un-augmented)")
+    parser.add_argument("--s2d", action="store_true",
+                        help="Run the narrow-channel full-res blocks in "
+                             "space-to-depth space (exact same math, 4x "
+                             "better TPU lane fill; MultiResUNet/NestedUNet/"
+                             "FRUNet only).  Recorded in the checkpoint so "
+                             "evaluate.py reconstructs it")
     parser.add_argument("--latest-path", type=str, default=None,
                         help="Also save the FULL training state (optimizer + "
                              "scheduler + progress) here every epoch")
@@ -452,6 +458,19 @@ def main(argv=None):
         if model_name.startswith("BCDUNet."):
             model_kwargs["N"] = args.patch_size  # train.py:518-519 contract
         model = create_model(model_name, dtype=compute_dtype, **model_kwargs)
+    if args.s2d and not model_kwargs.get("s2d"):
+        # execution-mode kwarg, not architecture: the parameter tree is
+        # identical, so it composes with --load/--resume checkpoints; it
+        # is recorded in model_kwargs so evaluate.py reconstructs it.
+        model_kwargs["s2d"] = True
+        try:
+            model = create_model(model_name, dtype=compute_dtype,
+                                 **model_kwargs)
+        except TypeError:
+            raise SystemExit(
+                f"--s2d is not supported by {model_name}; supported: "
+                "MultiResUNet.MultiResUNet, UNetPP.NestedUNet, "
+                "FRUNet.FRUNet")
 
     logging.info(
         f"Network:\n\t{model.n_channels} input channels\n"

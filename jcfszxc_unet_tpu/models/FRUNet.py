@@ -26,6 +26,12 @@ class FRUNet(nn.Module):
     fuse: bool = True
     out_ave: bool = True
     dtype: Optional[Any] = None
+    # Additive, off by default: run the full-resolution 32-channel row
+    # (7 of 17 grid nodes — the lane-padded traffic that keeps training
+    # at 14.9% MFU) in space-to-depth space.  Exact math, identical
+    # parameter tree, bit-identical Dropout2d masks (tests/test_s2d.py);
+    # hardware verdict: scripts/tpu_s2d_train_probe.py.
+    s2d: bool = False
 
     @property
     def n_channels(self):
@@ -42,8 +48,11 @@ class FRUNet(nn.Module):
         f = [int(v / self.feature_scale) for v in (64, 128, 256, 512, 1024)]
 
         def blk(name, in_c, out_c, is_up, is_down):
+            # s2d pays off only where channels under-fill the 128 lanes:
+            # the full-res f[0]-wide row (32 ch -> exactly 128 in s2d).
             return FRBlock(in_c, out_c, dp=dp, is_up=is_up, is_down=is_down,
-                           fuse=fu, dtype=dt, name=name)
+                           fuse=fu, dtype=dt, s2d=self.s2d and out_c == f[0],
+                           name=name)
 
         cat = lambda *ts: jnp.concatenate(ts, axis=-1)
 

@@ -502,16 +502,32 @@ class FRConv(nn.Module):
     out_c: int
     dp: float = 0.0
     dtype: Optional[Dtype] = None
+    s2d: bool = False  # input/output in space-to-depth form (ops/s2d.py)
 
     @nn.compact
     def __call__(self, x, train: bool = True):
-        assert x.shape[-1] == self.out_c
+        mult = 4 if self.s2d else 1
+        assert x.shape[-1] == self.out_c * mult
         for _ in range(2):
             x = Conv2d(self.out_c, self.out_c, 3, padding=1, use_bias=False,
-                       dtype=self.dtype)(x)
-            x = BatchNorm2d(self.out_c, dtype=self.dtype)(x, train)
-            x = nn.Dropout(self.dp, broadcast_dims=(1, 2),
-                           deterministic=dropout_deterministic(train))(x)
+                       dtype=self.dtype, s2d_space=self.s2d)(x)
+            x = BatchNorm2d(self.out_c, dtype=self.dtype,
+                            phase_groups=mult)(x, train)
+            if self.s2d:
+                # Dropout2d drops whole ORIGINAL channels: mask on a
+                # (B, h, w, C, 4) view so a channel's 4 phases drop
+                # together.  The (B,1,1,C,1) bernoulli draw consumes the
+                # same bits as the plain path's (B,1,1,C), so the masks
+                # are bit-identical across the two execution modes.
+                b, h, w, c4 = x.shape
+                x5 = x.reshape(b, h, w, c4 // 4, 4)
+                x5 = nn.Dropout(self.dp, broadcast_dims=(1, 2, 4),
+                                deterministic=dropout_deterministic(train)
+                                )(x5)
+                x = x5.reshape(b, h, w, c4)
+            else:
+                x = nn.Dropout(self.dp, broadcast_dims=(1, 2),
+                               deterministic=dropout_deterministic(train))(x)
             x = nn.leaky_relu(x, 0.1)
         return x
 
@@ -523,15 +539,21 @@ class FeatureFuse(nn.Module):
     in_c: int
     out_c: int
     dtype: Optional[Dtype] = None
+    s2d: bool = False  # input/output in space-to-depth form (ops/s2d.py)
 
     @nn.compact
     def __call__(self, x, train: bool = True):
-        x1 = Conv2d(self.in_c, self.out_c, 1, use_bias=False, dtype=self.dtype)(x)
+        x1 = Conv2d(self.in_c, self.out_c, 1, use_bias=False, dtype=self.dtype,
+                    s2d_space=self.s2d)(x)
         x2 = Conv2d(self.in_c, self.out_c, 3, padding=1, use_bias=False,
-                    dtype=self.dtype)(x)
+                    dtype=self.dtype, s2d_space=self.s2d)(x)
+        # dilation-2 taps sit on even offsets, so the s2d equivalent is a
+        # plain (dilation-1) 3x3 s2d conv — see ops/s2d._selector
         x3 = Conv2d(self.in_c, self.out_c, 3, padding=2, dilation=2,
-                    use_bias=False, dtype=self.dtype)(x)
-        return BatchNorm2d(self.out_c, dtype=self.dtype)(x1 + x2 + x3, train)
+                    use_bias=False, dtype=self.dtype, s2d_space=self.s2d)(x)
+        return BatchNorm2d(self.out_c, dtype=self.dtype,
+                           phase_groups=4 if self.s2d else 1)(
+            x1 + x2 + x3, train)
 
 
 class FRUp(nn.Module):
@@ -578,15 +600,28 @@ class FRBlock(nn.Module):
     is_down: bool = False
     fuse: bool = True
     dtype: Optional[Dtype] = None
+    # Space-to-depth execution (see Multiresblock.s2d): fuse + the double
+    # conv run in s2d space; the up/down branches consume the transformed-
+    # back output, so cross-resolution wiring is untouched.
+    s2d: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = True):
+        use_s2d = (self.s2d and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0)
+        if use_s2d:
+            from jcfszxc_unet_tpu.ops.s2d import depth_to_space, space_to_depth
+            x = space_to_depth(x)
         if self.in_c != self.out_c:
             if self.fuse:
-                x = FeatureFuse(self.in_c, self.out_c, dtype=self.dtype)(x, train)
+                x = FeatureFuse(self.in_c, self.out_c, dtype=self.dtype,
+                                s2d=use_s2d)(x, train)
             else:
-                x = Conv2d(self.in_c, self.out_c, 1, dtype=self.dtype)(x)
-        x = FRConv(self.out_c, self.out_c, self.dp, dtype=self.dtype)(x, train)
+                x = Conv2d(self.in_c, self.out_c, 1, dtype=self.dtype,
+                           s2d_space=use_s2d)(x)
+        x = FRConv(self.out_c, self.out_c, self.dp, dtype=self.dtype,
+                   s2d=use_s2d)(x, train)
+        if use_s2d:
+            x = depth_to_space(x)
         if not self.is_up and not self.is_down:
             return x
         outs = [x]

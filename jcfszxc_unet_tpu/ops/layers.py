@@ -166,13 +166,15 @@ class Conv2d(nn.Module):
         if kh != kw or kh % 2 == 0:
             raise ValueError(
                 f"s2d conv needs an odd square kernel, got {kh}x{kw}")
+        dil = _pair(self.dilation)
         if (self.groups != 1 or _pair(self.stride) != (1, 1)
-                or _pair(self.dilation) != (1, 1)):
-            raise ValueError("s2d conv requires stride/dilation 1, groups 1")
+                or dil[0] != dil[1] or dil[0] > 2):
+            raise ValueError(
+                "s2d conv requires stride 1, dilation 1 or 2, groups 1")
         if isinstance(self.padding, str):
             same = self.padding.upper() == "SAME"
         else:
-            same = _pair(self.padding) == (kh // 2, kw // 2)
+            same = _pair(self.padding) == (kh // 2 * dil[0], kw // 2 * dil[1])
         if not same:
             raise ValueError("s2d conv requires SAME-equivalent padding")
         if isinstance(x, (tuple, list)):
@@ -182,7 +184,8 @@ class Conv2d(nn.Module):
         kernel, bias = _ConvParams(
             (kh, kw, self.in_channels, self.out_channels),
             self.use_bias, fan_in, name="conv")()
-        out = conv_s2d(x.astype(dtype), s2d_kernel(kernel.astype(dtype)))
+        out = conv_s2d(x.astype(dtype),
+                       s2d_kernel(kernel.astype(dtype), dil[0]))
         if bias is not None:
             out = out + expand_vector(bias.astype(dtype))
         return out

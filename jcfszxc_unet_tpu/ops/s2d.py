@@ -73,42 +73,44 @@ def depth_to_space(x: jnp.ndarray) -> jnp.ndarray:
 
 
 @functools.lru_cache(maxsize=None)
-def _selector(k: int):
+def _selector(k: int, dilation: int = 1):
     """Static 0/1 tensor S[K, L, q, p, u, v] wiring original tap (u, v)
     into s2d tap (K, L) for output phase q and input phase p.
 
     Derivation: y[2i+a, 2j+b] = sum_{u,v} w[u, v] * x[2i+a+u', 2j+b+v']
-    (u' = u - r the signed offset); the source pixel 2i+a+u' sits at s2d
-    row i + floor((a+u')/2), phase (a+u') mod 2 — each (a, u) pair maps
-    to exactly one (delta, c).
+    (u' = (u - r)*dilation the signed offset); the source pixel
+    2i+a+u' sits at s2d row i + floor((a+u')/2), phase (a+u') mod 2 —
+    each (a, u) pair maps to exactly one (delta, c).  Dilation 2 keeps
+    tap offsets even, so it collapses to a dilation-1 s2d conv with
+    phase-preserving taps (FeatureFuse's dilated branch).
     """
     if k % 2 == 0:
         raise ValueError(f"s2d_kernel supports odd kernel sizes, got {k}")
     r = k // 2
-    big_r = (r + 1) // 2
+    big_r = (r * dilation + 1) // 2
     kk = 2 * big_r + 1
     sel = np.zeros((kk, kk, 4, 4, k, k), np.float32)
     for a in (0, 1):
         for b in (0, 1):
             q = a * 2 + b
             for u in range(k):
-                au = a + (u - r)
+                au = a + (u - r) * dilation
                 di, c = au >> 1, au & 1
                 for v in range(k):
-                    bv = b + (v - r)
+                    bv = b + (v - r) * dilation
                     dj, d = bv >> 1, bv & 1
                     sel[di + big_r, dj + big_r, q, c * 2 + d, u, v] = 1.0
     return sel
 
 
-def s2d_kernel(w: jnp.ndarray) -> jnp.ndarray:
+def s2d_kernel(w: jnp.ndarray, dilation: int = 1) -> jnp.ndarray:
     """HWIO kernel (k, k, Ci, Co), odd k, stride 1 -> the exact
-    s2d-space equivalent (k', k', 4Ci, 4Co), k' = 2*((k//2+1)//2)+1
-    (3x3 and 5x5 both map to 3x3; 1x1 maps to 1x1)."""
+    s2d-space equivalent (k', k', 4Ci, 4Co) for a SAME dilation-1 s2d
+    conv.  3x3 (dil 1 or 2) and 5x5 map to 3x3; 1x1 maps to 1x1."""
     k = w.shape[0]
     if w.shape[1] != k:
         raise ValueError(f"square kernels only, got {w.shape[:2]}")
-    sel = jnp.asarray(_selector(k), w.dtype)
+    sel = jnp.asarray(_selector(k, dilation), w.dtype)
     ws = jnp.einsum("KLqpuv,uvio->KLipoq", sel, w)
     kk = sel.shape[0]
     return ws.reshape(kk, kk, w.shape[2] * 4, w.shape[3] * 4)

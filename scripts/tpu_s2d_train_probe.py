@@ -28,9 +28,11 @@ PATCH = int(os.environ.get("S2DT_PATCH", "128"))
 N_LONG = int(os.environ.get("S2DT_N", "6"))
 MODELS = os.environ.get(
     "S2DT_MODELS",
-    "UNet.UNet,MultiResUNet.MultiResUNet,UNetPP.NestedUNet").split(",")
+    "UNet.UNet,MultiResUNet.MultiResUNet,UNetPP.NestedUNet,"
+    "FRUNet.FRUNet").split(",")
 # UNet has no s2d flag — it is the control and only runs plain.
-HAS_S2D = {"MultiResUNet.MultiResUNet", "UNetPP.NestedUNet"}
+HAS_S2D = {"MultiResUNet.MultiResUNet", "UNetPP.NestedUNet",
+           "FRUNet.FRUNet"}
 
 
 def main():

@@ -36,6 +36,12 @@ class TestTrainArgs:
         assert a.model == "SegNet.SegNet"
         assert a.dtype == "float32" and a.devices == 4 and a.remat
 
+    def test_s2d_flag(self):
+        assert not train_args([]).s2d
+        assert train_args(["--s2d"]).s2d
+        assert not eval_args(["-m", "x.ckpt"]).s2d
+        assert eval_args(["-m", "x.ckpt", "--s2d"]).s2d
+
 
 class TestEvalArgs:
     def test_reference_defaults(self):

@@ -76,6 +76,19 @@ class TestConvParity:
     def test_conv5x5(self):
         self._check(5, 3, 8)
 
+    def test_conv3x3_dilation2(self):
+        # FeatureFuse's dilated branch: even tap offsets collapse to a
+        # dilation-1 s2d conv (phase-preserving taps)
+        rng = np.random.RandomState(9)
+        x = jnp.asarray(rng.randn(2, 10, 12, 4), jnp.float32)
+        wt = jnp.asarray(rng.randn(3, 3, 4, 6) * 0.3, jnp.float32)
+        ref = jax.lax.conv_general_dilated(
+            x, wt, (1, 1), [(2, 2), (2, 2)], rhs_dilation=(2, 2),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        got = depth_to_space(conv_s2d(space_to_depth(x), s2d_kernel(wt, 2)))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+
     def test_conv3x3_narrow_tail_geometry(self):
         # multiresblock9's actual widths (64 -> 8), tiny spatial extent
         self._check(3, 64, 8, h=8, w=8, seed=3)
@@ -232,11 +245,14 @@ class TestModelIntegration:
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=tol, atol=tol)
 
-        # train forward + running-stat updates
+        # train forward + running-stat updates (dropout ACTIVE where the
+        # model has it: the s2d rank-5 mask draw consumes the same bits,
+        # so the masks are identical and train mode stays comparable)
+        rngs = {"dropout": jax.random.PRNGKey(7)}
         a, mut_a = plain.apply(variables, x, train=True,
-                               mutable=["batch_stats"])
+                               mutable=["batch_stats"], rngs=rngs)
         b, mut_b = fast.apply(variables, x, train=True,
-                              mutable=["batch_stats"])
+                              mutable=["batch_stats"], rngs=rngs)
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=tol, atol=tol)
         fa = jax.tree_util.tree_leaves_with_path(mut_a["batch_stats"])
@@ -253,6 +269,34 @@ class TestModelIntegration:
 
     def test_nested_unet(self):
         self._check_model("UNetPP.NestedUNet")
+
+    def test_frunet(self):
+        # dropout=0.2 stays ACTIVE in train mode here — mask equality
+        # across execution modes is part of what this pins
+        self._check_model("FRUNet.FRUNet")
+
+    def test_frconv_dropout_masks_match(self):
+        """The s2d FRConv draws its channel-dropout mask on a
+        (B,1,1,C,1) view; same rng + same bit count as the plain path's
+        (B,1,1,C), so with dropout ACTIVE the two modes stay equal."""
+        import jax
+        from jcfszxc_unet_tpu.ops.blocks import FRConv
+
+        rng = np.random.RandomState(14)
+        x = jnp.asarray(rng.randn(2, 8, 8, 4), jnp.float32)
+        plain = FRConv(4, 4, dp=0.5)
+        fast = FRConv(4, 4, dp=0.5, s2d=True)
+        variables = plain.init(
+            {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+            x, train=False)
+        rngs = {"dropout": jax.random.PRNGKey(3)}
+        a, _ = plain.apply(variables, x, train=True,
+                           mutable=["batch_stats"], rngs=rngs)
+        b5, _ = fast.apply(variables, space_to_depth(x), train=True,
+                           mutable=["batch_stats"], rngs=rngs)
+        b = depth_to_space(b5)
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-5, atol=1e-5)
 
     def test_production_train_step_trajectory(self):
         """Output parity does not imply GRADIENT parity: run 3 production
@@ -300,6 +344,25 @@ class TestModelIntegration:
             # rounding-noise gradients but nothing at real-defect scale
             np.testing.assert_allclose(np.asarray(lb), np.asarray(la),
                                        rtol=0, atol=1e-4, err_msg=str(pa))
+
+    def test_checkpoint_records_s2d(self, tmp_path):
+        """train.py --s2d stores the execution mode in model_kwargs, so
+        evaluate.py / Predictor reconstruct the s2d model from the
+        checkpoint alone."""
+        import jax
+        from jcfszxc_unet_tpu.models import create_model
+        from jcfszxc_unet_tpu.train import checkpoint as ckpt
+
+        model = create_model("MultiResUNet.MultiResUNet", s2d=True)
+        variables = model.init(
+            {"params": jax.random.PRNGKey(0)},
+            jnp.zeros((1, 32, 32, 3), jnp.float32), train=False)
+        path = str(tmp_path / "m.ckpt")
+        ckpt.save_model(path, "MultiResUNet.MultiResUNet", {"s2d": True},
+                        variables["params"], variables.get("batch_stats", {}))
+        loaded, _, config = ckpt.load_model(path)
+        assert loaded.s2d
+        assert config["model_kwargs"]["s2d"] is True
 
     def test_odd_input_falls_back(self):
         """A flagged block at odd spatial dims silently uses the plain
