@@ -332,17 +332,18 @@ def main(argv=None):
         # Execution mode, not architecture: the parameter tree is
         # identical, so any checkpoint of a supporting model can opt in
         # at eval time (checkpoints trained with --s2d already carry it).
-        from jcfszxc_unet_tpu.models import create_model
+        from jcfszxc_unet_tpu.models import create_model, s2d_capable
 
-        try:
-            model = create_model(
-                config["model_name"], dtype=compute_dtype,
-                **{**config["model_kwargs"], "s2d": True})
-        except TypeError:
+        if config["model_name"] not in s2d_capable():
             raise SystemExit(
                 f"--s2d is not supported by {config['model_name']}; "
-                "supported: MultiResUNet.MultiResUNet, UNetPP.NestedUNet, "
-                "FRUNet.FRUNet")
+                "supported: " + ", ".join(s2d_capable()))
+        # .pth-loaded kwargs may already carry 'dtype'; dtype is passed
+        # explicitly, so strip it from the spread
+        kw = {k: v for k, v in config["model_kwargs"].items()
+              if k != "dtype"}
+        model = create_model(config["model_name"], dtype=compute_dtype,
+                             **{**kw, "s2d": True})
     from jcfszxc_unet_tpu.parallel.mesh import make_mesh
 
     n_dev = args.devices or len(jax.devices())

@@ -462,15 +462,18 @@ def main(argv=None):
         # execution-mode kwarg, not architecture: the parameter tree is
         # identical, so it composes with --load/--resume checkpoints; it
         # is recorded in model_kwargs so evaluate.py reconstructs it.
-        model_kwargs["s2d"] = True
-        try:
-            model = create_model(model_name, dtype=compute_dtype,
-                                 **model_kwargs)
-        except TypeError:
+        from jcfszxc_unet_tpu.models import s2d_capable
+
+        if model_name not in s2d_capable():
             raise SystemExit(
                 f"--s2d is not supported by {model_name}; supported: "
-                "MultiResUNet.MultiResUNet, UNetPP.NestedUNet, "
-                "FRUNet.FRUNet")
+                + ", ".join(s2d_capable()))
+        model_kwargs["s2d"] = True
+        # .pth-loaded kwargs may already carry 'dtype'; dtype is passed
+        # explicitly, so strip it from the spread
+        model = create_model(
+            model_name, dtype=compute_dtype,
+            **{k: v for k, v in model_kwargs.items() if k != "dtype"})
 
     logging.info(
         f"Network:\n\t{model.n_channels} input channels\n"

@@ -61,3 +61,12 @@ def resolve_model(name: str):
 def create_model(name: str, **kwargs):
     """Instantiate a model from the registry by name."""
     return resolve_model(name)(**kwargs)
+
+
+def s2d_capable():
+    """Registry names of models with the ``s2d`` execution-mode field
+    (space-to-depth form for their narrow-channel blocks, ops/s2d.py)."""
+    return sorted(
+        name for name, cls in MODEL_REGISTRY.items()
+        if "s2d" in getattr(cls, "__dataclass_fields__", {})
+    )

@@ -59,8 +59,8 @@ class Conv2d(nn.Module):
     ``s2d_space=True`` applies the SAME parameters in space-to-depth
     space (ops/s2d.py): the input is (B, H/2, W/2, 4*in_channels) in
     c-major phase layout and the output keeps that form.  Exact math
-    (tests/test_s2d.py); requires stride 1, dilation 1, groups 1, odd
-    square kernel, SAME-equivalent padding.
+    (tests/test_s2d.py); requires stride 1, dilation 1 or 2, groups 1,
+    odd square kernel, SAME-equivalent padding.
     """
 
     in_channels: int

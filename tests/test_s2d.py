@@ -345,6 +345,13 @@ class TestModelIntegration:
             np.testing.assert_allclose(np.asarray(lb), np.asarray(la),
                                        rtol=0, atol=1e-4, err_msg=str(pa))
 
+    def test_s2d_capable_registry(self):
+        from jcfszxc_unet_tpu.models import s2d_capable
+
+        assert s2d_capable() == ["FRUNet.FRUNet",
+                                 "MultiResUNet.MultiResUNet",
+                                 "UNetPP.NestedUNet"]
+
     def test_checkpoint_records_s2d(self, tmp_path):
         """train.py --s2d stores the execution mode in model_kwargs, so
         evaluate.py / Predictor reconstruct the s2d model from the
