@@ -49,13 +49,39 @@ class MultiResUNet(nn.Module):
         fs = [32, 64, 128, 256, 512]
         ins = [_mrb_out(f, a) for f in fs]  # encoder block output widths
 
-        m1 = Multiresblock(self.input_channels, 32, a, dtype=dt, s2d=self.s2d, name="multiresblock1")(x, train)
-        p1 = max_pool2d(m1)
-        s1 = Respath(ins[0], 32, 4, dtype=dt, s2d=self.s2d, name="respath1")(m1, train)
+        # Persistent s2d: the narrow encoder mouth (m1 -> respath1 /
+        # pool -> m2 -> respath2) and the narrow decoder tail (m8, m9)
+        # stay resident in s2d space — one transform per true boundary
+        # instead of one pair per block.  %4 so the half-res row is even
+        # too; odd geometries fall back to the plain path (static shapes).
+        use = self.s2d and x.shape[1] % 4 == 0 and x.shape[2] % 4 == 0
+        if use:
+            from jcfszxc_unet_tpu.ops.s2d import (
+                depth_to_space,
+                maxpool_exit,
+                space_to_depth,
+            )
 
-        m2 = Multiresblock(ins[0], 64, a, dtype=dt, s2d=self.s2d, name="multiresblock2")(p1, train)
-        p2 = max_pool2d(m2)
-        s2 = Respath(ins[1], 64, 3, dtype=dt, s2d=self.s2d, name="respath2")(m2, train)
+            m1 = Multiresblock(self.input_channels, 32, a, dtype=dt,
+                               s2d_io=True, name="multiresblock1")(
+                space_to_depth(x), train)
+            p1 = maxpool_exit(m1)
+            s1 = Respath(ins[0], 32, 4, dtype=dt, s2d_io=True,
+                         name="respath1")(m1, train)
+            m2 = Multiresblock(ins[0], 64, a, dtype=dt, s2d_io=True,
+                               name="multiresblock2")(
+                space_to_depth(p1), train)
+            p2 = maxpool_exit(m2)
+            s2 = Respath(ins[1], 64, 3, dtype=dt, s2d_io=True,
+                         name="respath2")(m2, train)
+        else:
+            m1 = Multiresblock(self.input_channels, 32, a, dtype=dt, name="multiresblock1")(x, train)
+            p1 = max_pool2d(m1)
+            s1 = Respath(ins[0], 32, 4, dtype=dt, name="respath1")(m1, train)
+
+            m2 = Multiresblock(ins[0], 64, a, dtype=dt, name="multiresblock2")(p1, train)
+            p2 = max_pool2d(m2)
+            s2 = Respath(ins[1], 64, 3, dtype=dt, name="respath2")(m2, train)
 
         m3 = Multiresblock(ins[1], 128, a, dtype=dt, name="multiresblock3")(p2, train)
         p3 = max_pool2d(m3)
@@ -76,12 +102,25 @@ class MultiResUNet(nn.Module):
             jnp.concatenate([u7, s3], axis=-1), train
         )
         u8 = ConvTranspose2d(_mrb_out(128, a), 64, 2, stride=2, dtype=dt, name="upsample8")(m7)
-        m8 = Multiresblock(64 * 2, 64, a, dtype=dt, s2d=self.s2d, name="multiresblock8")(
-            jnp.concatenate([u8, s2], axis=-1), train
-        )
-        u9 = ConvTranspose2d(_mrb_out(64, a), 32, 2, stride=2, dtype=dt, name="upsample9")(m8)
-        m9 = Multiresblock(32 * 2, 32, a, dtype=dt, s2d=self.s2d, name="multiresblock9")(
-            jnp.concatenate([u9, s1], axis=-1), train
-        )
+        if use:
+            # c-major layout: concat of s2d tensors IS the s2d of the
+            # concat, so the reference's channel order is preserved
+            m8 = Multiresblock(64 * 2, 64, a, dtype=dt, s2d_io=True,
+                               name="multiresblock8")(
+                jnp.concatenate([space_to_depth(u8), s2], axis=-1), train)
+            u9 = ConvTranspose2d(_mrb_out(64, a), 32, 2, stride=2, dtype=dt,
+                                 name="upsample9")(depth_to_space(m8))
+            m9 = Multiresblock(32 * 2, 32, a, dtype=dt, s2d_io=True,
+                               name="multiresblock9")(
+                jnp.concatenate([space_to_depth(u9), s1], axis=-1), train)
+            m9 = depth_to_space(m9)
+        else:
+            m8 = Multiresblock(64 * 2, 64, a, dtype=dt, name="multiresblock8")(
+                jnp.concatenate([u8, s2], axis=-1), train
+            )
+            u9 = ConvTranspose2d(_mrb_out(64, a), 32, 2, stride=2, dtype=dt, name="upsample9")(m8)
+            m9 = Multiresblock(32 * 2, 32, a, dtype=dt, name="multiresblock9")(
+                jnp.concatenate([u9, s1], axis=-1), train
+            )
         return Conv2dBatchnorm(_mrb_out(32, a), self.num_classes, (1, 1),
                                activation="None", dtype=dt, name="conv_final")(m9, train)

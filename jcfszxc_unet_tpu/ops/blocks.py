@@ -674,6 +674,10 @@ class Multiresblock(nn.Module):
     # attribution: m8+m9 = 67% of the 6.8%-MFU step).  Falls back to the
     # plain path when the spatial dims are odd (static shapes under jit).
     s2d: bool = False
+    # Persistent form: input is ALREADY s2d and the output stays s2d —
+    # the model owns the (amortized) boundary transforms.  Implies s2d
+    # compute; the caller is responsible for the even-dims check.
+    s2d_io: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -682,8 +686,9 @@ class Multiresblock(nn.Module):
         f5 = int(W * 0.333)
         f7 = int(W * 0.5)
         out_f = f3 + f5 + f7
-        use_s2d = (self.s2d and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0)
-        if use_s2d:
+        use_s2d = self.s2d_io or (
+            self.s2d and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0)
+        if use_s2d and not self.s2d_io:
             from jcfszxc_unet_tpu.ops.s2d import depth_to_space, space_to_depth
             x = space_to_depth(x)
         pg = 4 if use_s2d else 1
@@ -703,7 +708,7 @@ class Multiresblock(nn.Module):
         y = y + shortcut
         y = BatchNorm2d(out_f, dtype=self.dtype, phase_groups=pg)(y, train)
         y = nn.relu(y)
-        if use_s2d:
+        if use_s2d and not self.s2d_io:
             y = depth_to_space(y)
         return y
 
@@ -722,11 +727,15 @@ class Respath(nn.Module):
     # stays in s2d space, so the entry/exit transforms amortize over
     # respath_length residual units.
     s2d: bool = False
+    # Persistent form: s2d input/output, no internal transforms (see
+    # Multiresblock.s2d_io).
+    s2d_io: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = True):
-        use_s2d = (self.s2d and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0)
-        if use_s2d:
+        use_s2d = self.s2d_io or (
+            self.s2d and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0)
+        if use_s2d and not self.s2d_io:
             from jcfszxc_unet_tpu.ops.s2d import depth_to_space, space_to_depth
             x = space_to_depth(x)
         for i in range(self.respath_length):
@@ -744,7 +753,7 @@ class Respath(nn.Module):
             x = nn.relu(bn(x, train))
             x = x + shortcut
             x = nn.relu(bn(x, train))
-        if use_s2d:
+        if use_s2d and not self.s2d_io:
             x = depth_to_space(x)
         return x
 

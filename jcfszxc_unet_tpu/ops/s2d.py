@@ -142,6 +142,60 @@ def bn_stats(x_s2d: jnp.ndarray, stat_dtype=jnp.float32):
     return mean, var
 
 
+def upsample_bilinear_s2d(x: jnp.ndarray, align_corners: bool = True,
+                          from_s2d: bool = False) -> jnp.ndarray:
+    """2x bilinear upsample emitted directly in s2d form.
+
+    ``from_s2d=False``: x is an ORIGINAL-space (B, h, w, C) tensor; the
+    result is the s2d form (B, h, w, 4C) of the (2h, 2w) upsample.
+    ``from_s2d=True``: x is ITSELF an s2d tensor (B, h, w, 4C)
+    representing a (2h, 2w) original; the result is the s2d form
+    (B, 2h, 2w, 4C) of the (4h, 4w) upsample — neither the unpacked
+    input nor the unpacked output is ever materialized.
+
+    Same math as ops.layers.upsample_bilinear (the constant-resize-matrix
+    einsum form) with the matrices split by row parity.  Beyond
+    layers.BILINEAR_MATMUL_MAX_IN the dense matrices cost O(in_size)
+    MACs/pixel, so this falls back to the gather-form upsample plus an
+    explicit pack (same whole-image guard as the plain path).
+    """
+    from jcfszxc_unet_tpu.ops.layers import (
+        BILINEAR_MATMUL_MAX_IN,
+        _linear_resize_matrix,
+        upsample_bilinear,
+    )
+
+    in_hw = max(x.shape[1], x.shape[2]) * (2 if from_s2d else 1)
+    if in_hw > BILINEAR_MATMUL_MAX_IN:
+        full = upsample_bilinear(
+            depth_to_space(x) if from_s2d else x, 2, align_corners)
+        return space_to_depth(full)
+    if from_s2d:
+        b, h, w, c4 = x.shape
+        c = c4 // 4
+        ih, iw = 2 * h, 2 * w
+        rh = jnp.asarray(
+            _linear_resize_matrix(ih, 2 * ih, align_corners), x.dtype)
+        rw = jnp.asarray(
+            _linear_resize_matrix(iw, 2 * iw, align_corners), x.dtype)
+        # out-phase x in-phase blocks: R[a::2, c::2], each (ih, h)
+        rh2 = jnp.stack([jnp.stack([rh[a::2, p::2] for p in (0, 1)])
+                         for a in (0, 1)])            # (2, 2, ih, h)
+        rw2 = jnp.stack([jnp.stack([rw[b_ % 2::2][:, p::2]
+                                    for p in (0, 1)])
+                         for b_ in (0, 1)])           # (2, 2, iw, w)
+        x6 = x.reshape(b, h, w, c, 2, 2)              # phases (row, col)
+        y = jnp.einsum("aciu,bdjv,nuvkcd->nijkab", rh2, rw2, x6)
+        return y.reshape(b, ih, iw, c * 4)
+    b, h, w, c = x.shape
+    rh = jnp.asarray(_linear_resize_matrix(h, 2 * h, align_corners), x.dtype)
+    rw = jnp.asarray(_linear_resize_matrix(w, 2 * w, align_corners), x.dtype)
+    rha = jnp.stack([rh[0::2], rh[1::2]])              # (2, h, h)
+    rwb = jnp.stack([rw[0::2], rw[1::2]])              # (2, w, w)
+    y = jnp.einsum("aiu,bjv,nuvc->nijcab", rha, rwb, x)
+    return y.reshape(b, h, w, c * 4)
+
+
 def maxpool_exit(x_s2d: jnp.ndarray) -> jnp.ndarray:
     """2x2/stride-2 max pool == max over the 4 phases; the result is the
     pooled tensor at ORIGINAL (H/2, W/2, C) layout — exits s2d space."""

@@ -144,6 +144,35 @@ class TestBNAndPool:
         got = maxpool_exit(space_to_depth(x))
         np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
 
+    def test_upsample_bilinear_s2d(self):
+        from jcfszxc_unet_tpu.ops.layers import upsample_bilinear
+        from jcfszxc_unet_tpu.ops.s2d import upsample_bilinear_s2d
+
+        rng = np.random.RandomState(15)
+        x = jnp.asarray(rng.randn(2, 5, 7, 3), jnp.float32)
+        for align in (True, False):
+            ref = space_to_depth(upsample_bilinear(x, 2, align_corners=align))
+            got = upsample_bilinear_s2d(x, align_corners=align)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                       rtol=1e-5, atol=1e-6)
+
+        # from_s2d: s2d-in, s2d-out, nothing unpacked in between
+        x = jnp.asarray(rng.randn(2, 6, 8, 3), jnp.float32)
+        for align in (True, False):
+            ref = space_to_depth(upsample_bilinear(x, 2, align_corners=align))
+            got = upsample_bilinear_s2d(space_to_depth(x),
+                                        align_corners=align, from_s2d=True)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                       rtol=1e-5, atol=1e-6)
+
+        # whole-image sizes route through the gather-form guard (same
+        # BILINEAR_MATMUL_MAX_IN cap as the plain path) — still exact
+        x = jnp.asarray(rng.randn(1, 292, 4, 2), jnp.float32)
+        ref = space_to_depth(upsample_bilinear(x, 2, align_corners=True))
+        got = upsample_bilinear_s2d(x)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-6)
+
     def test_avgpool_exit(self):
         rng = np.random.RandomState(7)
         x = jnp.asarray(rng.randn(2, 4, 4, 2), jnp.float32)
