@@ -238,6 +238,12 @@ class TestDPEquivalenceExoticArchetypes:
     def test_frunet_grid_on_mesh(self):
         self._check("FRUNet.FRUNet")
 
+    def test_multiresunet_s2d_on_mesh(self):
+        """s2d residency under GSPMD: the pack/unpack reshapes and the
+        phase-grouped BN reductions are batch-pointwise, so the sharded
+        step must reproduce single-device numbers like any other model."""
+        self._check("MultiResUNet.MultiResUNet", s2d=True)
+
 
 class TestSpatialPartitioning:
     """SURVEY §2.5 item 3 (stretch): whole-image inference with the ROW
