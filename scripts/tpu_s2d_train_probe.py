@@ -93,6 +93,35 @@ def main():
                 print(f"{name} [{variant}]: {per*1e3:8.2f} ms/step "
                       f"{BATCH/per:8.1f} patches/s  (loss {l1:.5f})",
                       flush=True)
+
+                # eval-mode forward (the inference half), same loop-in-jit
+                xb = jnp.asarray(
+                    np.random.RandomState(2).rand(64, PATCH, PATCH, 3),
+                    jnp.bfloat16)
+
+                @jax.jit
+                def fwd_n(v, n):
+                    def body(i, acc):
+                        y = model.apply(
+                            v, xb + i.astype(jnp.bfloat16) * 1e-6,
+                            train=False)
+                        return acc + y.astype(jnp.float32).mean()
+                    return jax.lax.fori_loop(0, n, body, jnp.float32(0))
+
+                var_eval = {"params": state.params,
+                            "batch_stats": state.batch_stats}
+
+                def frun(n):
+                    return float(fwd_n(var_eval, jnp.int32(n)))
+
+                frun(1); frun(N_LONG)
+                t0 = time.perf_counter(); frun(1)
+                t1 = time.perf_counter() - t0
+                t0 = time.perf_counter(); frun(N_LONG)
+                t2 = time.perf_counter() - t0
+                fper = (t2 - t1) / (N_LONG - 1)
+                print(f"{name} [{variant}]: eval fwd {fper*1e3:8.2f} "
+                      f"ms/batch64 {64/fper:8.1f} img/s", flush=True)
             except Exception as e:
                 print(f"{name} [{variant}]: FAIL {type(e).__name__}: "
                       f"{str(e)[:140]}", flush=True)
