@@ -149,30 +149,35 @@ def main():
     for geom in GEOMS:
         p, x, plain, s2d, label = builders[geom]()
 
-        # one-shot parity check at this geometry (bf16 tolerance)
-        ref = np.asarray(plain(p, x)[:2, :16, :16], np.float32)
-        got = np.asarray(s2d(p, x)[:2, :16, :16], np.float32)
-        maxd = float(np.abs(ref - got).max())
+        # one-shot parity check at this geometry (bf16 tolerance).
+        # Jitted as ONE program: eager op-by-op dispatch through this
+        # image's async relay costs seconds per op and stalled the first
+        # run of this probe for >13 minutes before any output.
+        @jax.jit
+        def _parity(p, x):
+            ref = plain(p, x)[:2, :16, :16].astype(jnp.float32)
+            got = s2d(p, x)[:2, :16, :16].astype(jnp.float32)
+            return jnp.abs(ref - got).max()
+
+        maxd = float(_parity(p, x))
 
         def timed(fn):
-            def make(n):
-                @jax.jit
-                def r(p, x):
-                    def body(i, acc):
-                        y = fn(p, x + i.astype(x.dtype) * 1e-6)
-                        return acc + y.astype(jnp.float32).mean()
-                    return jax.lax.fori_loop(0, n, body, jnp.float32(0))
-                return r
+            # ONE executable, traced trip count — relay compiles dominate.
+            @jax.jit
+            def r(p, x, n):
+                def body(i, acc):
+                    y = fn(p, x + i.astype(x.dtype) * 1e-6)
+                    return acc + y.astype(jnp.float32).mean()
+                return jax.lax.fori_loop(0, n, body, jnp.float32(0))
 
-            def _t(f):
+            def _t(n):
                 t0 = time.perf_counter()
-                float(f(p, x))
+                float(r(p, x, jnp.int32(n)))
                 return time.perf_counter() - t0
 
-            r1, rN = make(1), make(N_LONG)
-            float(r1(p, x)); float(rN(p, x))
-            t1 = min(_t(r1) for _ in range(3))
-            tN = min(_t(rN) for _ in range(3))
+            _t(1); _t(N_LONG)  # compile + warm
+            t1 = min(_t(1) for _ in range(3))
+            tN = min(_t(N_LONG) for _ in range(3))
             return (tN - t1) / (N_LONG - 1) * 1e3
 
         def gradded(fn):

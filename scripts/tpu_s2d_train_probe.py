@@ -43,7 +43,6 @@ def main():
     from jcfszxc_unet_tpu.models import create_model
     from jcfszxc_unet_tpu.train.optim import make_optimizer
     from jcfszxc_unet_tpu.train.state import create_train_state
-    from jcfszxc_unet_tpu.train.trainer import make_epoch_fn
     from jcfszxc_unet_tpu.utils.cache import enable_persistent_compile_cache
 
     enable_persistent_compile_cache()
@@ -68,26 +67,41 @@ def main():
                 state = create_train_state(
                     model, tx, jax.random.PRNGKey(0),
                     jnp.zeros((1, PATCH, PATCH, 3), jnp.bfloat16))
-                copy_state = jax.jit(
-                    lambda s: jax.tree.map(lambda a: a + 0, s))
                 key = jax.random.PRNGKey(1)
 
-                def make(steps):
-                    return make_epoch_fn(
-                        model, tx, n_classes=model.n_classes,
-                        batch_size=BATCH, patch_size=PATCH, steps=steps,
-                        compute_dtype=jnp.bfloat16)
+                # ONE executable with a traced trip count (the bench.py
+                # methodology): two separately-compiled scans measured
+                # >25 min of remote compile through this image's relay.
+                from jcfszxc_unet_tpu.data.sampler import sample_batch
+                from jcfszxc_unet_tpu.train.trainer import (
+                    make_batch_step_fn,
+                )
 
-                e1, eN = make(1), make(N_LONG)
+                batch_step = make_batch_step_fn(
+                    model, tx, n_classes=model.n_classes,
+                    compute_dtype=jnp.bfloat16)
 
-                def run(fn):
-                    s, m = fn(copy_state(state), images, labels, smap, key)
-                    return float(m["epoch_loss"])
+                @jax.jit
+                def run_n(state, n, key):
+                    def body(i, carry):
+                        state, total = carry
+                        ks, kd = jax.random.split(
+                            jax.random.fold_in(key, i))
+                        imgs, labs = sample_batch(
+                            ks, images, labels, smap, BATCH, PATCH)
+                        state, loss, ok = batch_step(state, imgs, labs, kd)
+                        return state, total + loss
+                    return jax.lax.fori_loop(
+                        0, n, body, (state, jnp.zeros(())))
 
-                l1 = run(e1); run(eN)
-                t0 = time.perf_counter(); run(e1)
+                def run(n):
+                    _, total = run_n(state, jnp.int32(n), key)
+                    return float(total)
+
+                l1 = run(1); run(N_LONG)
+                t0 = time.perf_counter(); run(1)
                 t1 = time.perf_counter() - t0
-                t0 = time.perf_counter(); run(eN)
+                t0 = time.perf_counter(); run(N_LONG)
                 t2 = time.perf_counter() - t0
                 per = (t2 - t1) / (N_LONG - 1)
                 print(f"{name} [{variant}]: {per*1e3:8.2f} ms/step "
