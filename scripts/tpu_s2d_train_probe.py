@@ -11,7 +11,15 @@ bytes per BN/concat/shortcut pass).  In s2d space the same math runs at
 + running stats).  The loss printed per variant must match to bf16
 noise — it is the in-run correctness check.
 
-Within-run comparison, same methodology as tpu_bn_onepass_train.py.
+Within-run comparison, same timing methodology as tpu_bn_onepass_train.py
+(loop-in-jit difference).  Deviation from the production loop: steps are
+chained with a hand-rolled fori_loop over make_batch_step_fn with a
+fold_in+split-per-step RNG scheme, not make_epoch_fn's split(key, steps)
+— per-step math is identical, only the key derivation differs, which is
+irrelevant for the relative plain-vs-s2d comparison.  Alongside the loss
+total the loop accumulates the NaN-skip flags; a variant that silently
+skipped steps would show skipped>0 rather than passing off a smaller
+loss total as agreement.
 
 Run:
   PYTHONPATH=/root/.axon_site:/root/repo python scripts/tpu_s2d_train_probe.py
@@ -84,28 +92,32 @@ def main():
                 @jax.jit
                 def run_n(state, n, key):
                     def body(i, carry):
-                        state, total = carry
+                        state, total, skipped = carry
                         ks, kd = jax.random.split(
                             jax.random.fold_in(key, i))
                         imgs, labs = sample_batch(
                             ks, images, labels, smap, BATCH, PATCH)
                         state, loss, ok = batch_step(state, imgs, labs, kd)
-                        return state, total + loss
+                        return state, total + loss, skipped + (1.0 - ok)
                     return jax.lax.fori_loop(
-                        0, n, body, (state, jnp.zeros(())))
+                        0, n, body, (state, jnp.zeros(()), jnp.zeros(())))
 
                 def run(n):
-                    _, total = run_n(state, jnp.int32(n), key)
-                    return float(total)
+                    _, total, skipped = run_n(state, jnp.int32(n), key)
+                    return float(total), int(skipped)
 
-                l1 = run(1); run(N_LONG)
-                t0 = time.perf_counter(); run(1)
+                def run_t(n):
+                    return run(n)[0]
+
+                l1, skip1 = run(1); run(N_LONG)
+                t0 = time.perf_counter(); run_t(1)
                 t1 = time.perf_counter() - t0
-                t0 = time.perf_counter(); run(N_LONG)
+                t0 = time.perf_counter(); _, skipN = run(N_LONG)
                 t2 = time.perf_counter() - t0
                 per = (t2 - t1) / (N_LONG - 1)
                 print(f"{name} [{variant}]: {per*1e3:8.2f} ms/step "
-                      f"{BATCH/per:8.1f} patches/s  (loss {l1:.5f})",
+                      f"{BATCH/per:8.1f} patches/s  (loss {l1:.5f}, "
+                      f"skipped {skip1}+{skipN}/{1 + N_LONG})",
                       flush=True)
 
                 # eval-mode forward (the inference half), same loop-in-jit
