@@ -1,0 +1,276 @@
+#!/usr/bin/env python
+"""Full-protocol A/B: the reference's own torch train.py/evaluate.py
+(executed UNMODIFIED from /root/reference) vs this framework's drop-in
+CLIs, on the SAME synthetic-DRIVE h5, same flags, same seed protocol.
+
+This is the round-4 headline evidence ask (VERDICT.md #1): the training
+*math* is already pinned at 3-step granularity (tests/
+test_train_step_torch_parity.py), but the full protocol — plateau
+scheduler x early stopping x best-checkpoint interplay over dozens of
+epochs (reference train.py:47-416) followed by grid-tiled evaluation
+(evaluate.py:164-346) — had never been A/B-executed end to end.
+
+Design choices:
+  * Data: synthetic DRIVE (tests/test_e2e.make_synthetic_drive) at
+    128x128 so the val grid has >100 patches per 3-image val split —
+    the reference's epoch-end visualization indexes val patch #100
+    unconditionally (train.py:398-401) and would crash on fewer.
+  * ONE h5 pair feeds every run, produced by the REFERENCE's own
+    preprocess.py (no CLI args; reads ../datasets/drive_eye relative to
+    its cwd, preprocess.py:26).
+  * Reference runs use scripts/ref_ab/shims on PYTHONPATH: a
+    sitecustomize.py that restores two torch<=2.1 behaviors torch 2.13
+    removed (ReduceLROnPlateau(verbose=), whole-module torch.load), and
+    one-symbol stubs for torchvision.models.inception.BasicConv2d and
+    timm.layers.trunc_normal_ (wheels absent from this image).  The
+    reference .py files themselves are byte-unmodified.
+  * Non-UNet reference arms go through the reference's own --load path
+    (train.py:500-503): we pre-save a freshly constructed reference
+    nn.Module as a whole-module .pth, exactly what that path consumes.
+  * Both frameworks see identical flags; ours adds --dtype float32 (CPU
+    arms; fp32 matches torch CPU compute) and --model (registry instead
+    of the reference's edit-the-source selection).
+  * RNG streams differ by construction (np.random patch sampling vs
+    jax.random), so parity is defined as SURVEY §7 prescribes: final
+    held-out Dice within noise, not trajectory equality.
+
+Usage:
+  python scripts/ref_ab/run_ab.py --workdir /tmp/ab \
+      --models UNet.UNet,FRUNet.FRUNet --lrs 1e-4,1e-6 \
+      --steps 50 --batch 8 --patch 32 --esp 10
+Each run's stdout lands in <workdir>/runs/<tag>/{train,eval}.log; the
+summary JSON in <workdir>/ab_results.json.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import re
+import subprocess
+import sys
+import time
+
+REPO = "/root/repo"
+REF = "/root/reference"
+SHIMS = os.path.join(REPO, "scripts", "ref_ab", "shims")
+
+# reference class construction snippets for the --load path (whole-module
+# .pth, the format train.py:502 / evaluate.py:421 consume)
+REF_CTOR = {
+    "UNet.UNet": "UNet.UNet()",
+    "AttentionUNet.AttentionUNet": "AttentionUNet.AttentionUNet()",
+    "FRUNet.FRUNet": "FRUNet.FRUNet()",
+    "MultiResUNet.MultiResUNet": "MultiResUNet.MultiResUNet()",
+    "SegNet.SegNet": "SegNet.SegNet()",
+    "DenseUNet.DenseUNet": "DenseUNet.DenseUNet()",
+    "MCUNet.MCUNet": "MCUNet.MCUNet()",
+    "ResUNet.ResUNet": "ResUNet.ResUNet()",
+}
+
+EPOCH_RE = re.compile(
+    r"Epoch (\d+) - LR: ([0-9.e+-]+) - Loss: ([0-9.e+-]+|nan) - "
+    r"Dice: ([0-9.e+-]+|nan) - Avg Dice: ([0-9.e+-]+|nan) - "
+    r"Best Dice: ([0-9.e+-]+|nan)")
+AVG_DICE_RE = re.compile(r"Average Dice Score: ([0-9.]+)")
+AVG_AUC_RE = re.compile(r"Average AUC: ([0-9.]+)")
+
+
+def sh(cmd, cwd, env, log_path, timeout):
+    t0 = time.time()
+    with open(log_path, "w") as log:
+        try:
+            p = subprocess.run(cmd, cwd=cwd, env=env, stdout=log,
+                               stderr=subprocess.STDOUT, timeout=timeout)
+            rc = p.returncode
+        except subprocess.TimeoutExpired:
+            rc = "timeout"
+    return rc, time.time() - t0
+
+
+def parse_train_log(path):
+    epochs = []
+    with open(path, errors="replace") as f:
+        for line in f:
+            m = EPOCH_RE.search(line)
+            if m:
+                epochs.append({
+                    "epoch": int(m.group(1)), "lr": float(m.group(2)),
+                    "loss": float(m.group(3)), "dice": float(m.group(4)),
+                    "dice_avg": float(m.group(5)),
+                    "best_dice": float(m.group(6)),
+                })
+    return epochs
+
+
+def parse_eval_log(path):
+    out = {}
+    with open(path, errors="replace") as f:
+        text = f.read()
+    m = AVG_DICE_RE.search(text)
+    if m:
+        out["avg_dice"] = float(m.group(1))
+    m = AVG_AUC_RE.search(text)
+    if m:
+        out["avg_auc"] = float(m.group(1))
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--workdir", default="/tmp/ab")
+    ap.add_argument("--models", default="UNet.UNet,FRUNet.FRUNet,"
+                                        "AttentionUNet.AttentionUNet")
+    ap.add_argument("--lrs", default="1e-4,1e-6")
+    ap.add_argument("--frameworks", default="ref,tpu")
+    ap.add_argument("--steps", type=int, default=50)
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--patch", type=int, default=32)
+    ap.add_argument("--esp", type=int, default=10,
+                    help="early-stopping patience (both frameworks; the "
+                         "reference default 20 is impractical on one CPU "
+                         "core — deviation applied to BOTH arms equally)")
+    ap.add_argument("--val", type=float, default=25.0)
+    ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--img", type=int, default=128)
+    ap.add_argument("--n-train", type=int, default=12)
+    ap.add_argument("--n-test", type=int, default=3)
+    ap.add_argument("--timeout", type=int, default=7200,
+                    help="per-run wall clock cap, seconds")
+    args = ap.parse_args()
+
+    wd = os.path.abspath(args.workdir)
+    os.makedirs(wd, exist_ok=True)
+
+    # ---- 1. synthetic DRIVE layout ------------------------------------
+    drive_root = os.path.join(wd, "datasets", "drive_eye")
+    if not os.path.isdir(drive_root):
+        sys.path.insert(0, REPO)
+        from tests.test_e2e import make_synthetic_drive
+
+        make_synthetic_drive(drive_root, n_train=args.n_train,
+                             n_test=args.n_test, h=args.img, w=args.img)
+        print(f"synthesized DRIVE layout at {drive_root}")
+
+    # ---- 2. the reference's own preprocess.py -> ONE h5 pair ----------
+    prep_dir = os.path.join(wd, "prep")
+    train_h5 = os.path.join(prep_dir, "data", "train_eye_dataset.h5")
+    test_h5 = os.path.join(prep_dir, "data", "test_eye_dataset.h5")
+    if not os.path.isfile(train_h5):
+        os.makedirs(prep_dir, exist_ok=True)
+        env = dict(os.environ, PYTHONPATH=f"{SHIMS}:{REF}")
+        rc, dt = sh([sys.executable, os.path.join(REF, "preprocess.py")],
+                    cwd=prep_dir, env=env,
+                    log_path=os.path.join(prep_dir, "preprocess.log"),
+                    timeout=600)
+        assert rc == 0, f"reference preprocess failed rc={rc}"
+        assert os.path.isfile(train_h5) and os.path.isfile(test_h5)
+        print(f"reference preprocess: OK ({dt:.1f}s)")
+
+    results = []
+    out_json = os.path.join(wd, "ab_results.json")
+    for model in args.models.split(","):
+        for lr in args.lrs.split(","):
+            for fw in args.frameworks.split(","):
+                tag = f"{model.split('.')[-1]}_{lr}_{fw}"
+                rundir = os.path.join(wd, "runs", tag)
+                os.makedirs(rundir, exist_ok=True)
+                os.makedirs(os.path.join(rundir, "demo"), exist_ok=True)
+                os.makedirs(os.path.join(rundir, "visualizations"),
+                            exist_ok=True)
+                row = {"model": model, "lr": float(lr), "framework": fw,
+                       "tag": tag}
+
+                if fw == "ref":
+                    env = dict(os.environ, PYTHONPATH=f"{SHIMS}:{REF}")
+                    env.pop("JAX_PLATFORMS", None)
+                    train_cmd = [
+                        sys.executable, os.path.join(REF, "train.py"),
+                        "-d", train_h5, "-b", str(args.batch), "-l", lr,
+                        "-p", str(args.patch), "-s", str(args.steps),
+                        "-v", str(args.val), "--seed", str(args.seed),
+                        "-esp", str(args.esp),
+                    ]
+                    if model != "UNet.UNet":
+                        # the reference's own --load resume path
+                        # (train.py:500-503) is the supported way to train
+                        # a non-default model without editing its source
+                        init_pth = os.path.join(rundir, "init_model.pth")
+                        code = (
+                            "import torch\n"
+                            "from UNetFamily import (UNet, AttentionUNet, "
+                            "FRUNet, MultiResUNet, SegNet, DenseUNet, "
+                            "MCUNet, ResUNet)\n"
+                            f"m = {REF_CTOR[model]}\n"
+                            "m = m.to(memory_format=torch.channels_last)\n"
+                            f"torch.save(m, {init_pth!r})\n"
+                        )
+                        subprocess.run([sys.executable, "-c", code],
+                                       env=env, check=True, cwd=rundir)
+                        train_cmd += ["--load", init_pth]
+                    eval_cmd = [
+                        sys.executable, os.path.join(REF, "evaluate.py"),
+                        "-m", os.path.join(rundir, "best_model.pth"),
+                        "-d", test_h5, "-o", "predictions",
+                        "-p", str(args.patch),
+                    ]
+                    best_file = "best_model.pth"
+                else:
+                    env = dict(os.environ, PYTHONPATH=REPO,
+                               JAX_PLATFORMS="cpu")
+                    train_cmd = [
+                        sys.executable, os.path.join(REPO, "train.py"),
+                        "-d", train_h5, "-b", str(args.batch), "-l", lr,
+                        "-p", str(args.patch), "-s", str(args.steps),
+                        "-v", str(args.val), "--seed", str(args.seed),
+                        "-esp", str(args.esp), "--model", model,
+                        "--dtype", "float32",
+                    ]
+                    eval_cmd = [
+                        sys.executable, os.path.join(REPO, "evaluate.py"),
+                        "-m", os.path.join(rundir, "best_model.ckpt"),
+                        "-d", test_h5, "-o", "predictions",
+                        "-p", str(args.patch), "--dtype", "float32",
+                    ]
+                    best_file = "best_model.ckpt"
+
+                print(f"[{tag}] training ...", flush=True)
+                rc, dt = sh(train_cmd, cwd=rundir, env=env,
+                            log_path=os.path.join(rundir, "train.log"),
+                            timeout=args.timeout)
+                row["train_rc"] = rc
+                row["train_seconds"] = round(dt, 1)
+                row["epochs"] = parse_train_log(
+                    os.path.join(rundir, "train.log"))
+                row["n_epochs"] = len(row["epochs"])
+                row["best_val_dice"] = max(
+                    (e["best_dice"] for e in row["epochs"]), default=None)
+
+                if os.path.isfile(os.path.join(rundir, best_file)):
+                    print(f"[{tag}] evaluating ...", flush=True)
+                    rc, dt = sh(eval_cmd, cwd=rundir, env=env,
+                                log_path=os.path.join(rundir, "eval.log"),
+                                timeout=1800)
+                    row["eval_rc"] = rc
+                    row.update(parse_eval_log(
+                        os.path.join(rundir, "eval.log")))
+                else:
+                    row["eval_rc"] = "no checkpoint"
+
+                results.append(row)
+                with open(out_json, "w") as f:
+                    json.dump(results, f, indent=1)
+                print(f"[{tag}] done: epochs={row['n_epochs']} "
+                      f"best_val={row['best_val_dice']} "
+                      f"heldout_dice={row.get('avg_dice')} "
+                      f"({row['train_seconds']}s)", flush=True)
+
+    print(f"\nwrote {out_json}")
+    for r in results:
+        print(f"{r['tag']:40s} epochs={r['n_epochs']:3d} "
+              f"best_val={r['best_val_dice']} heldout={r.get('avg_dice')}")
+
+
+if __name__ == "__main__":
+    main()
