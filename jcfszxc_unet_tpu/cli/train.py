@@ -405,6 +405,16 @@ def get_args(argv=None):
                              "better TPU lane fill; MultiResUNet/NestedUNet/"
                              "FRUNet only).  Recorded in the checkpoint so "
                              "evaluate.py reconstructs it")
+    parser.add_argument("--logit-head", action="store_true",
+                        help="Train through the pre-activation head of the "
+                             "five reference-defect models (BARUNet/"
+                             "BIARUNet/TransFuseNet/BCDU_net_D1/D3), whose "
+                             "stock forward ends in a constant softmax or "
+                             "a double-squashed sigmoid and therefore "
+                             "cannot learn.  Additive, off by default "
+                             "(= exact reference behavior); identical "
+                             "parameter tree, recorded in the checkpoint "
+                             "so evaluate.py reconstructs it")
     parser.add_argument("--latest-path", type=str, default=None,
                         help="Also save the FULL training state (optimizer + "
                              "scheduler + progress) here every epoch")
@@ -458,6 +468,21 @@ def main(argv=None):
         if model_name.startswith("BCDUNet."):
             model_kwargs["N"] = args.patch_size  # train.py:518-519 contract
         model = create_model(model_name, dtype=compute_dtype, **model_kwargs)
+    if args.logit_head and not model_kwargs.get("logit_head"):
+        # Like --s2d: a forward-behavior kwarg over an identical parameter
+        # tree, so it composes with --load/--resume checkpoints and is
+        # recorded in model_kwargs for evaluate.py.
+        from jcfszxc_unet_tpu.models import logit_head_capable
+
+        if model_name not in logit_head_capable():
+            raise SystemExit(
+                f"--logit-head is not supported by {model_name} (its "
+                "forward already returns logits); supported: "
+                + ", ".join(logit_head_capable()))
+        model_kwargs["logit_head"] = True
+        model = create_model(
+            model_name, dtype=compute_dtype,
+            **{k: v for k, v in model_kwargs.items() if k != "dtype"})
     if args.s2d and not model_kwargs.get("s2d"):
         # execution-mode kwarg, not architecture: the parameter tree is
         # identical, so it composes with --load/--resume checkpoints; it

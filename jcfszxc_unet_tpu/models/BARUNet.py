@@ -23,6 +23,12 @@ class BARUNet(nn.Module):
     img_ch: int = 3
     output_ch: int = 1
     dtype: Optional[Any] = None
+    # Opt-in escape hatch for the reference defect (CLI --logit-head):
+    # return the pre-softmax 1x1-conv head so the model can actually learn
+    # through BCE-with-logits.  Off = exact reference behavior.  The
+    # parameter tree is identical either way (the activation has no
+    # params), so it composes with any checkpoint of this model.
+    logit_head: bool = False
 
     @property
     def n_channels(self):
@@ -62,4 +68,6 @@ class BARUNet(nn.Module):
             jnp.concatenate([x1, d2], axis=-1), train
         )
         d1 = Conv2d(64, self.output_ch, 1, dtype=dt, name="Conv_1x1")(d2)
+        if self.logit_head:
+            return d1
         return jax.nn.softmax(d1, axis=-1)

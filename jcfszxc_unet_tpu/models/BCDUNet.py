@@ -35,6 +35,7 @@ class _Decoder(nn.Module):
 
     num_classes: int
     dtype: Optional[Any] = None
+    logit_head: bool = False  # see BCDU_net_D3.logit_head
 
     @nn.compact
     def __call__(self, bottleneck, conv1, conv2, drop3, train: bool = True):
@@ -60,6 +61,8 @@ class _Decoder(nn.Module):
         h = Conv2d(64, 2, 3, padding=1, dtype=dt, name="conv8_3")(h)
         h = nn.relu(h)
         h = Conv2d(2, self.num_classes, 1, dtype=dt, name="conv9")(h)
+        if self.logit_head:
+            return h
         return nn.sigmoid(h)
 
 
@@ -87,6 +90,11 @@ class BCDU_net_D3(nn.Module):
     num_channels: int = 3
     num_classes: int = 1
     dtype: Optional[Any] = None
+    # CLI --logit-head: return the pre-sigmoid conv9 head so training sees
+    # true logits instead of the reference's double-squash (sigmoid at
+    # BCDUNet.py:144 + another sigmoid in the loss path, train.py:264).
+    # Identical param tree; off = exact reference behavior.
+    logit_head: bool = False
 
     @property
     def n_channels(self):
@@ -112,7 +120,8 @@ class BCDU_net_D3(nn.Module):
         h = nn.relu(Conv2d(1024, 512, 3, padding=1, dtype=dt, name="conv4_3")(merge))
         h = nn.relu(Conv2d(512, 512, 3, padding=1, dtype=dt, name="conv4_3_2")(h))
         drop4_3 = nn.Dropout(0.5, deterministic=dropout_deterministic(train))(h)
-        return _Decoder(self.num_classes, dtype=dt, name="decoder")(
+        return _Decoder(self.num_classes, dtype=dt,
+                        logit_head=self.logit_head, name="decoder")(
             drop4_3, conv1, conv2, drop3, train
         )
 
@@ -122,6 +131,7 @@ class BCDU_net_D1(nn.Module):
     num_channels: int = 3
     num_classes: int = 1
     dtype: Optional[Any] = None
+    logit_head: bool = False  # see BCDU_net_D3.logit_head
 
     @property
     def n_channels(self):
@@ -139,6 +149,7 @@ class BCDU_net_D1(nn.Module):
         h = nn.relu(Conv2d(256, 512, 3, padding=1, dtype=dt, name="conv4")(pool3))
         h = nn.relu(Conv2d(512, 512, 3, padding=1, dtype=dt, name="conv4_1")(h))
         drop4_1 = nn.Dropout(0.5, deterministic=dropout_deterministic(train))(h)
-        return _Decoder(self.num_classes, dtype=dt, name="decoder")(
+        return _Decoder(self.num_classes, dtype=dt,
+                        logit_head=self.logit_head, name="decoder")(
             drop4_1, conv1, conv2, drop3, train
         )

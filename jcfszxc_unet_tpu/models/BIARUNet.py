@@ -25,6 +25,9 @@ class BIARUNet(nn.Module):
     img_ch: int = 3
     output_ch: int = 1
     dtype: Optional[Any] = None
+    # CLI --logit-head: return the pre-softmax head (see BARUNet; same
+    # constant-softmax defect, BIARUNet.py:89).  Identical param tree.
+    logit_head: bool = False
 
     @property
     def n_channels(self):
@@ -68,4 +71,6 @@ class BIARUNet(nn.Module):
             jnp.concatenate([x1, d2], axis=-1), train
         )
         d1 = Conv2d(64, self.output_ch, 1, dtype=dt, name="Conv_1x1")(d2)
+        if self.logit_head:
+            return d1
         return jax.nn.softmax(d1, axis=-1)

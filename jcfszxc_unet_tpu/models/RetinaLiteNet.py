@@ -40,6 +40,11 @@ class _PrivateCBAM(nn.Module):
 class TransFuseNet(nn.Module):
     input_channels: int = 3
     dtype: Optional[Any] = None
+    # CLI --logit-head: return the pre-sigmoid BV head so training sees
+    # true logits instead of the reference's double-squash (sigmoid here
+    # + another sigmoid in the loss path, train.py:264).  Identical
+    # param tree; off = exact reference behavior.
+    logit_head: bool = False
 
     @property
     def n_channels(self):
@@ -93,11 +98,13 @@ class TransFuseNet(nn.Module):
         d3 = nn.relu(d3)
         d3 = nn.relu(Conv2d(8, 8, 3, padding=1, dtype=dt, name="decoder_block3_conv")(d3))
 
-        output_bv = nn.sigmoid(Conv2d(8, 1, 1, dtype=dt, name="output_BV")(d3))
+        bv = Conv2d(8, 1, 1, dtype=dt, name="output_BV")(d3)
         # output_OD head exists in the reference but is never returned
         # (RetinaLiteNet.py:194-197); we keep its params for parity.
         _ = nn.sigmoid(Conv2d(8, 1, 1, dtype=dt, name="output_OD")(d3))
-        return output_bv
+        if self.logit_head:
+            return bv
+        return nn.sigmoid(bv)
 
 
 def create_transfuse_net(input_shape):

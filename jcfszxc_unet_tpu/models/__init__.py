@@ -70,3 +70,16 @@ def s2d_capable():
         name for name, cls in MODEL_REGISTRY.items()
         if "s2d" in getattr(cls, "__dataclass_fields__", {})
     )
+
+
+def logit_head_capable():
+    """Registry names of models with the ``logit_head`` field — the five
+    whose reference forward ends in a constant softmax or a sigmoid that
+    the training loop double-squashes (BARUNet.py:83, BIARUNet.py:89,
+    BCDUNet.py:144/251, RetinaLiteNet.py:194-197).  With the field set
+    they return the pre-activation head instead (CLI ``--logit-head``,
+    additive; identical parameter tree)."""
+    return sorted(
+        name for name, cls in MODEL_REGISTRY.items()
+        if "logit_head" in getattr(cls, "__dataclass_fields__", {})
+    )
