@@ -135,7 +135,70 @@ def main():
             result["train_mfu_pct"] = round(tmfu, 1)
     except Exception:
         pass  # the headline inference line must survive a train-bench fault
+    try:
+        zoo = zoo_bench(jax, jnp)
+        if zoo:
+            result["zoo_img_per_sec"] = zoo
+            result["zoo_min_img_per_sec"] = round(min(zoo.values()), 1)
+    except Exception:
+        pass  # likewise
     print(json.dumps(result))
+
+
+# Slow-tail visibility (round-4 ask): the headline tracks only UNet, so a
+# regression in the ConvLSTM gate split, the nested dense-skip plumbing or
+# the Multiresblock one-pass BN would be invisible to the driver bench.
+# Measure inference throughput for one model per slow-tail archetype and
+# report the per-model map plus the min.  Smaller batch/N than the
+# headline: three extra compiles ride the driver's bench budget.
+ZOO_MODELS = (
+    ("MultiResUNet.MultiResUNet", {}),
+    ("UNetPP.NestedUNet", {}),
+    ("BCDUNet.BCDU_net_D3", {"N": PATCH}),
+)
+ZOO_BATCH = int(os.environ.get("BENCH_ZOO_BATCH", "64"))
+ZOO_N_LONG = int(os.environ.get("BENCH_ZOO_N", "6"))
+
+
+def zoo_bench(jax, jnp):
+    """Per-archetype inference img/s (batch 64), fori_loop methodology."""
+    from functools import partial
+
+    from jcfszxc_unet_tpu.models import create_model
+
+    out = {}
+    for name, kwargs in ZOO_MODELS:
+        try:
+            model = create_model(name, dtype=jnp.bfloat16, **kwargs)
+            x = jnp.asarray(
+                np.random.RandomState(0).rand(ZOO_BATCH, PATCH, PATCH, 3),
+                jnp.bfloat16)
+            variables = jax.jit(
+                lambda k, m=model: m.init({"params": k}, x[:1], train=False)
+            )(jax.random.PRNGKey(0))
+
+            @partial(jax.jit, static_argnums=(2,))
+            def loop(variables, x, n, m=model):
+                def body(i, acc):
+                    xi = x + i.astype(jnp.bfloat16) * 1e-6
+                    y = jax.nn.sigmoid(m.apply(variables, xi, train=False))
+                    return acc + y.mean().astype(jnp.float32)
+
+                return jax.lax.fori_loop(0, n, body, jnp.float32(0))
+
+            float(loop(variables, x, 1))
+            float(loop(variables, x, ZOO_N_LONG))
+            t0 = time.perf_counter()
+            float(loop(variables, x, 1))
+            t1 = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            float(loop(variables, x, ZOO_N_LONG))
+            t2 = time.perf_counter() - t0
+            per = (t2 - t1) / (ZOO_N_LONG - 1)
+            out[name.split(".")[-1]] = round(ZOO_BATCH / per, 1)
+        except Exception:
+            continue  # one model's fault must not hide the others
+    return out
 
 
 def train_bench(jax, jnp):

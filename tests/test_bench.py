@@ -25,6 +25,8 @@ def test_bench_emits_one_json_line_with_both_workloads():
         "BENCH_N": "2",
         "BENCH_TRAIN_BATCH": "2",
         "BENCH_TRAIN_N": "2",
+        "BENCH_ZOO_BATCH": "2",
+        "BENCH_ZOO_N": "2",
     })
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
@@ -43,3 +45,9 @@ def test_bench_emits_one_json_line_with_both_workloads():
     assert rec["value"] > 0 and rec["vs_baseline"] >= 0
     # both halves of the workload (VERDICT r2 item 4)
     assert rec["train_patches_per_sec"] > 0
+    # slow-tail zoo visibility (VERDICT r3 item 7): one model per
+    # archetype + the aggregate min
+    assert set(rec["zoo_img_per_sec"]) == {
+        "MultiResUNet", "NestedUNet", "BCDU_net_D3"}
+    assert rec["zoo_min_img_per_sec"] > 0
+    assert rec["zoo_min_img_per_sec"] == min(rec["zoo_img_per_sec"].values())
