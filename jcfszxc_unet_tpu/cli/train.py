@@ -46,6 +46,34 @@ from jcfszxc_unet_tpu.utils.seed import set_seed
 from jcfszxc_unet_tpu.utils.vis import save_triptych
 
 
+def bn_saturation_signature(dice_history, mean_prob=None,
+                            peak=0.3, floor=0.05):
+    """True when the val-dice trajectory just entered the eval-logit
+    saturation signature: the current epoch's dice collapsed to ~0 after
+    some earlier epoch exceeded ``peak``.
+
+    This is the 0.76<->0.0 flapping measured on SegNet/MultiResUNet at
+    production learning rates (experiments_record.md round 3): train-mode
+    learning is fine, but the BN *running* statistics lag the activation
+    drift, so the eval-mode forward saturates to one class (mean sigmoid
+    output pinned near 0 or 1) — reproduced with the reference's own torch
+    modules (scripts/torch_bn_lag.py).  ``mean_prob`` (the val set's mean
+    sigmoid output), when given, confirms the mechanism and is included in
+    the hint the caller logs.  Fires on the collapse TRANSITION only
+    (current epoch <= floor, previous epoch above), so the warning does
+    not repeat every flat epoch.
+    """
+    if len(dice_history) < 2 or dice_history[-1] > floor:
+        return False
+    if dice_history[-2] <= floor:
+        return False  # already collapsed — warned at the transition
+    if max(dice_history[:-1]) < peak:
+        return False  # never learned: not the saturation signature
+    if mean_prob is not None and 0.05 < mean_prob < 0.95:
+        return False  # eval outputs are not saturated — different failure
+    return True
+
+
 def train_model(
     model,
     model_name: str,
@@ -159,6 +187,7 @@ def train_model(
     best_dice = 0.0
     patience_counter = 0
     epoch = 0
+    dice_history = []  # feeds the BN-saturation guardrail
 
     # Exact resume: restore optimizer/scheduler/progress saved by
     # --latest-path (beyond the reference's params-only --load resume,
@@ -261,6 +290,21 @@ def train_model(
             dice = float(metrics["dice"])
             dice_avg = float(metrics["dice_avg"])
             pps = throughput.tick(steps * batch_size)
+
+            dice_history.append(dice)
+            mean_prob = float(probs.mean()) if val_imgs.shape[0] else None
+            if bn_saturation_signature(dice_history, mean_prob):
+                logging.warning(
+                    f"Validation Dice collapsed to {dice:.3f} after "
+                    f"reaching {max(dice_history[:-1]):.3f} with the val "
+                    f"set's mean sigmoid output at {mean_prob:.3f} — the "
+                    "signature of BN running-statistics lag (eval-mode "
+                    "logit saturation; the train-mode forward is still "
+                    "learning)."
+                    + ("" if precise_bn else
+                       "  Re-run with --precise-bn 8 to recalibrate the "
+                       "running stats each epoch.")
+                )
 
             lr = get_current_lr(state.opt_state)
             new_lr = scheduler.step(dice, lr)

@@ -85,3 +85,45 @@ class TestPreprocessArgs:
         assert a.output_dir == "data/"
         assert a.save_method == "h5"
         assert not a.grayscale and not a.clahe and a.gamma is None
+
+
+class TestSaturationGuardrail:
+    """bn_saturation_signature — the train CLI's warning that a collapsed
+    val Dice is the BN running-stat saturation artifact, not model
+    failure (VERDICT r3 item 8).  Trajectory values are the MEASURED
+    SegNet convergence protocol (experiments_record.md round 3: val dice
+    flaps 0.764<->0.000 while held-out AUC reads 0.934)."""
+
+    def _sig(self, *a, **k):
+        from jcfszxc_unet_tpu.cli.train import bn_saturation_signature
+
+        return bn_saturation_signature(*a, **k)
+
+    def test_fires_on_the_recorded_segnet_collapse(self):
+        # epoch 1: 0.764 artifact-dice, epoch 2: collapse to 0.0 with the
+        # val mean sigmoid output saturated near 0 (logits mean -844)
+        assert self._sig([0.764, 0.0], mean_prob=0.001)
+
+    def test_fires_on_each_reentry_but_not_on_flat_epochs(self):
+        hist = [0.764, 0.0]
+        assert self._sig(hist, mean_prob=0.0)
+        hist.append(0.0)
+        assert not self._sig(hist, mean_prob=0.0)  # still collapsed: quiet
+        hist.append(0.764)
+        assert not self._sig(hist, mean_prob=0.0)  # recovered: quiet
+        hist.append(0.0)
+        assert self._sig(hist, mean_prob=0.0)  # re-collapse: fires again
+
+    def test_requires_a_prior_peak(self):
+        # a model that never learned is not the saturation signature
+        assert not self._sig([0.02, 0.01, 0.0], mean_prob=0.0)
+
+    def test_mean_prob_gate_rejects_unsaturated_outputs(self):
+        # dice collapse with mid-range outputs is some other failure
+        assert not self._sig([0.764, 0.0], mean_prob=0.4)
+        assert self._sig([0.764, 0.0], mean_prob=0.99)  # all-vessel side
+
+    def test_quiet_on_healthy_and_short_histories(self):
+        assert not self._sig([], mean_prob=0.5)
+        assert not self._sig([0.0], mean_prob=0.0)
+        assert not self._sig([0.4, 0.5, 0.6], mean_prob=0.4)
