@@ -43,3 +43,21 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 assert jax.devices()[0].platform == "cpu", jax.devices()
 assert len(jax.devices()) == 8, jax.devices()
+
+import pytest  # noqa: E402
+
+# Smoke tier (`pytest -m smoke`, VERDICT r3 item 10): one fast module per
+# framework layer — numerics, optimizer, data, CLI contracts, checkpoint
+# durability, model flags, DCN smoke, visualization.  The torch-oracle
+# parity suites (the 30-minute bulk) stay full-suite-only: they gate
+# releases, not edit loops.
+SMOKE_MODULES = {
+    "test_losses", "test_optim", "test_data", "test_cli", "test_vis",
+    "test_checkpoint_async", "test_logit_head", "test_distributed",
+}
+
+
+def pytest_collection_modifyitems(items):
+    for item in items:
+        if item.module.__name__.rsplit(".", 1)[-1] in SMOKE_MODULES:
+            item.add_marker(pytest.mark.smoke)
