@@ -138,6 +138,31 @@ def main():
     ap.add_argument("--n-test", type=int, default=3)
     ap.add_argument("--timeout", type=int, default=7200,
                     help="per-run wall clock cap, seconds")
+    ap.add_argument("--tpu-platform", default="cpu",
+                    choices=["cpu", "default"],
+                    help="'cpu' pins our arms to XLA:CPU (same silicon as "
+                         "the torch arms, but XLA:CPU conv throughput is "
+                         "not a target and single-core runs are 5-40x "
+                         "slower than MKL-DNN torch); 'default' leaves the "
+                         "ambient platform (the real TPU in this image) — "
+                         "the framework on its target hardware, minutes "
+                         "per arm.  Accuracy parity is hardware-agnostic; "
+                         "wall-clock columns are NOT comparable across "
+                         "platforms")
+    ap.add_argument("--reuse", action="store_true",
+                    help="don't redo finished work in this workdir: arms "
+                         "whose row is already complete in ab_results.json "
+                         "are skipped, and arms whose rundir holds a "
+                         "finished training (best checkpoint + parseable "
+                         "train.log — e.g. from a sweep whose driver died "
+                         "mid-run) skip straight to evaluation")
+    ap.add_argument("--match-epochs", action="store_true",
+                    help="cap our arm's --max-epochs at the epoch count "
+                         "the reference arm actually ran (same model+lr; "
+                         "from this sweep or a previous one in the same "
+                         "workdir), so best-checkpoint comparisons cover "
+                         "the same epoch window even when one arm was "
+                         "wall-clock-truncated")
     args = ap.parse_args()
 
     wd = os.path.abspath(args.workdir)
@@ -168,8 +193,27 @@ def main():
         assert os.path.isfile(train_h5) and os.path.isfile(test_h5)
         print(f"reference preprocess: OK ({dt:.1f}s)")
 
-    results = []
+    # Results merge across sweeps in the same workdir: same-tag rows are
+    # replaced, everything else is kept (lets a truncated arm be re-run on
+    # a different platform without losing the finished rows).
     out_json = os.path.join(wd, "ab_results.json")
+    results = []
+    if os.path.isfile(out_json):
+        with open(out_json) as f:
+            results = json.load(f)
+
+    def ref_epoch_count(model, lr):
+        """Epoch count of the same (model, lr) reference arm, for
+        --match-epochs: prefer this sweep's row, else parse the workdir's
+        previous run log."""
+        tag = f"{model.split('.')[-1]}_{lr}_ref"
+        for r in results:
+            if r["tag"] == tag and r.get("n_epochs"):
+                return r["n_epochs"]
+        log = os.path.join(wd, "runs", tag, "train.log")
+        if os.path.isfile(log):
+            return len(parse_train_log(log)) or None
+        return None
     for model in args.models.split(","):
         for lr in args.lrs.split(","):
             for fw in args.frameworks.split(","):
@@ -181,6 +225,15 @@ def main():
                             exist_ok=True)
                 row = {"model": model, "lr": float(lr), "framework": fw,
                        "tag": tag}
+
+                if args.reuse:
+                    prev = next((r for r in results if r["tag"] == tag),
+                                None)
+                    if (prev and prev.get("train_rc") == 0
+                            and prev.get("eval_rc") == 0):
+                        print(f"[{tag}] complete row cached, skipping "
+                              "(--reuse)", flush=True)
+                        continue
 
                 if fw == "ref":
                     env = dict(os.environ, PYTHONPATH=f"{SHIMS}:{REF}")
@@ -217,8 +270,15 @@ def main():
                     ]
                     best_file = "best_model.pth"
                 else:
-                    env = dict(os.environ, PYTHONPATH=REPO,
-                               JAX_PLATFORMS="cpu")
+                    env = dict(os.environ, PYTHONPATH=REPO)
+                    if args.tpu_platform == "cpu":
+                        env["JAX_PLATFORMS"] = "cpu"
+                    else:
+                        # the ambient PYTHONPATH carries the TPU relay's
+                        # PJRT-plugin sitecustomize — keep it visible
+                        amb = os.environ.get("PYTHONPATH", "")
+                        if amb:
+                            env["PYTHONPATH"] = f"{REPO}:{amb}"
                     train_cmd = [
                         sys.executable, os.path.join(REPO, "train.py"),
                         "-d", train_h5, "-b", str(args.batch), "-l", lr,
@@ -227,6 +287,11 @@ def main():
                         "-esp", str(args.esp), "--model", model,
                         "--dtype", "float32",
                     ]
+                    if args.match_epochs:
+                        cap = ref_epoch_count(model, lr)
+                        if cap:
+                            train_cmd += ["--max-epochs", str(cap)]
+                            row["max_epochs_matched"] = cap
                     eval_cmd = [
                         sys.executable, os.path.join(REPO, "evaluate.py"),
                         "-m", os.path.join(rundir, "best_model.ckpt"),
@@ -235,14 +300,25 @@ def main():
                     ]
                     best_file = "best_model.ckpt"
 
-                print(f"[{tag}] training ...", flush=True)
-                rc, dt = sh(train_cmd, cwd=rundir, env=env,
-                            log_path=os.path.join(rundir, "train.log"),
-                            timeout=args.timeout)
-                row["train_rc"] = rc
-                row["train_seconds"] = round(dt, 1)
-                row["epochs"] = parse_train_log(
-                    os.path.join(rundir, "train.log"))
+                train_log = os.path.join(rundir, "train.log")
+                if (args.reuse
+                        and os.path.isfile(os.path.join(rundir, best_file))
+                        and os.path.isfile(train_log)
+                        and parse_train_log(train_log)):
+                    # a previous sweep finished this training but died
+                    # before recording/evaluating — keep the artifacts
+                    print(f"[{tag}] reusing finished training (--reuse)",
+                          flush=True)
+                    row["train_rc"] = 0
+                    row["train_seconds"] = None
+                    row["train_reused"] = True
+                else:
+                    print(f"[{tag}] training ...", flush=True)
+                    rc, dt = sh(train_cmd, cwd=rundir, env=env,
+                                log_path=train_log, timeout=args.timeout)
+                    row["train_rc"] = rc
+                    row["train_seconds"] = round(dt, 1)
+                row["epochs"] = parse_train_log(train_log)
                 row["n_epochs"] = len(row["epochs"])
                 row["best_val_dice"] = max(
                     (e["best_dice"] for e in row["epochs"]), default=None)
@@ -258,7 +334,7 @@ def main():
                 else:
                     row["eval_rc"] = "no checkpoint"
 
-                results.append(row)
+                results = [r for r in results if r["tag"] != tag] + [row]
                 with open(out_json, "w") as f:
                     json.dump(results, f, indent=1)
                 print(f"[{tag}] done: epochs={row['n_epochs']} "
