@@ -704,9 +704,40 @@ class Multiresblock(nn.Module):
         # c-major phase layout: channel-concat of s2d tensors IS the s2d
         # of the concat, so this line serves both paths unchanged.
         y = jnp.concatenate([a, b, c], axis=-1)
-        y = BatchNorm2d(out_f, dtype=self.dtype, phase_groups=pg)(y, train)
-        y = y + shortcut
-        y = BatchNorm2d(out_f, dtype=self.dtype, phase_groups=pg)(y, train)
+        bn_c = BatchNorm2d(out_f, dtype=self.dtype, phase_groups=pg)
+        bn_a = BatchNorm2d(out_f, dtype=self.dtype, phase_groups=pg)
+        from jcfszxc_unet_tpu.ops import layers as _layers
+
+        if _layers.MRES_TAIL_FOLD and train and pg == 1:
+            # Folded tail (see ops/layers.MRES_TAIL_FOLD): ONE fused
+            # reduction pass over (cat, shortcut) yields both BNs' batch
+            # statistics — BN_a's derive algebraically from BN_c's affine
+            # view + the cross-covariance — so y2 = BN_c(cat)+shortcut is
+            # never materialized for a second stats pass.  The normalize
+            # chain below is the exact plain-path math.
+            sd = jnp.promote_types(y.dtype, jnp.float32)
+            catf = y.astype(sd)
+            shf = shortcut.astype(sd)
+            axes = tuple(range(y.ndim - 1))
+            mu_c = catf.mean(axes)
+            m2_c = jnp.square(catf).mean(axes)
+            mu_s = shf.mean(axes)
+            m2_s = jnp.square(shf).mean(axes)
+            m_cs = (catf * shf).mean(axes)
+            var_c = jnp.maximum(m2_c - jnp.square(mu_c), 0.0)
+            var_s = jnp.maximum(m2_s - jnp.square(mu_s), 0.0)
+            cov = m_cs - mu_c * mu_s
+            y, (inv_c, beta_c) = bn_c(y, train, stats=(mu_c, var_c),
+                                      affine_out=True)
+            mu_a = inv_c * mu_c + beta_c + mu_s
+            var_a = jnp.maximum(
+                inv_c * inv_c * var_c + var_s + 2.0 * inv_c * cov, 0.0)
+            y = y + shortcut
+            y = bn_a(y, train, stats=(mu_a, var_a))
+        else:
+            y = bn_c(y, train)
+            y = y + shortcut
+            y = bn_a(y, train)
         y = nn.relu(y)
         if use_s2d and not self.s2d_io:
             y = depth_to_space(y)

@@ -259,6 +259,25 @@ TRAIN_BN_FAST_APPLY = False
 # remains available for exact-reproducibility studies.
 TRAIN_BN_ONE_PASS_STATS = True
 
+# Trace-time switch: fold the Multiresblock tail's second train-mode BN
+# statistics pass away algebraically.  The tail is BN_c(concat) ->
+# +shortcut -> BN_a -> ReLU (reference unet_parts.py:703-713); BN_a's
+# batch statistics of y2 = BN_c(cat)+sh follow EXACTLY from five
+# reductions over (cat, sh) computed in one fused pass — E[cat],
+# E[cat^2], E[sh], E[sh^2], E[cat*sh] — via the affine view of BN_c:
+#   E[y2]   = inv_c*mu_c + beta_c + mu_s
+#   Var[y2] = inv_c^2*Var[cat] + Var[sh] + 2*inv_c*Cov[cat, sh]
+# so y2 never has to be materialized for a second reduction.  The
+# elementwise normalize chain is unchanged (identical math to the plain
+# path); only BN_a's statistics SOURCE differs — exact f32 algebra vs a
+# re-measurement over the bf16-rounded y2 — a ~1e-3-relative-in-bf16 /
+# ~1e-7-in-f32 difference the trajectory suite bounds.  Implies one-pass
+# (E[x^2]-E[x]^2) statistics for the two tail BNs regardless of
+# TRAIN_BN_ONE_PASS_STATS.  Measured on v5e (scripts/tpu_mres_tail_fuse
+# .py, batch 128): block fwd -12%/-30% (m9/m8), fwd+bwd -4%; default set
+# by the full-model measurement in experiments_record.md round 4.
+MRES_TAIL_FOLD = True
+
 
 class _TorchBatchNorm(nn.Module):
     """Torch-exact batch norm over the last axis of an (..., C) tensor.
@@ -286,7 +305,21 @@ class _TorchBatchNorm(nn.Module):
     phase_groups: int = 1
 
     @nn.compact
-    def __call__(self, x, use_running_average: bool):
+    def __call__(self, x, use_running_average: bool, stats=None,
+                 affine_out: bool = False):
+        """``stats=(mean, var)``: train-mode batch statistics supplied by
+        the caller (per-channel, biased variance, stat dtype) — the
+        reduction over ``x`` is skipped but normalization and the
+        running-stat update proceed exactly as if they had been measured
+        here.  This is the hook for algebraically-derived statistics
+        (e.g. Multiresblock's folded tail, where the second BN's batch
+        stats follow from the first BN's affine view + a covariance —
+        experiments_record.md round 4).  Ignored in eval mode.
+
+        ``affine_out=True``: additionally return ``(inv, beta)`` with
+        ``y == x*inv + beta`` per channel (stat dtype) — the affine view
+        of this BN under the statistics it used this call.
+        """
         c = self.num_features
         g = self.phase_groups
         scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
@@ -317,7 +350,21 @@ class _TorchBatchNorm(nn.Module):
             inv = jax.lax.rsqrt(ra_var.value + self.eps) * scale
             beta = bias - ra_mean.value * inv
             y = x.astype(out_dtype) * _ex(inv).astype(out_dtype).reshape(shape)
-            return y + _ex(beta).astype(out_dtype).reshape(shape)
+            y = y + _ex(beta).astype(out_dtype).reshape(shape)
+            if affine_out:
+                return y, (inv.astype(stat_dtype), beta.astype(stat_dtype))
+            return y
+        elif stats is not None:
+            mean = stats[0].astype(stat_dtype)
+            var = stats[1].astype(stat_dtype)
+            if not self.is_initializing():
+                n = x.size // c
+                bessel = n / max(n - 1, 1)
+                m = self.momentum
+                ra_mean.value = ((1.0 - m) * ra_mean.value
+                                 + m * mean.astype(jnp.float32))
+                ra_var.value = ((1.0 - m) * ra_var.value
+                                + m * (var * bessel).astype(jnp.float32))
         else:
             xf = x.astype(stat_dtype)
             if g > 1:
@@ -362,11 +409,17 @@ class _TorchBatchNorm(nn.Module):
             # fast path above; constants stay f32).
             beta = bias.astype(stat_dtype) - mean * inv
             y = x.astype(out_dtype) * _ex(inv).astype(out_dtype).reshape(shape)
-            return y + _ex(beta).astype(out_dtype).reshape(shape)
+            y = y + _ex(beta).astype(out_dtype).reshape(shape)
+            if affine_out:
+                return y, (inv, beta)
+            return y
         y = (x.astype(stat_dtype) - _ex(mean).reshape(shape)) \
             * _ex(inv).reshape(shape)
         y = y + _ex(bias).reshape(shape).astype(stat_dtype)
-        return y.astype(out_dtype)
+        y = y.astype(out_dtype)
+        if affine_out:
+            return y, (inv, bias.astype(stat_dtype) - mean * inv)
+        return y
 
 
 class BatchNorm2d(nn.Module):
@@ -385,7 +438,8 @@ class BatchNorm2d(nn.Module):
     phase_groups: int = 1  # >1: s2d input (see _TorchBatchNorm)
 
     @nn.compact
-    def __call__(self, x, train: bool = True):
+    def __call__(self, x, train: bool = True, stats=None,
+                 affine_out: bool = False):
         bn = _TorchBatchNorm(
             num_features=self.num_features,
             eps=self.eps,
@@ -394,7 +448,8 @@ class BatchNorm2d(nn.Module):
             phase_groups=self.phase_groups,
             name="bn",
         )
-        return bn(x, use_running_average=not train)
+        return bn(x, use_running_average=not train, stats=stats,
+                  affine_out=affine_out)
 
 
 class BatchNorm1d(nn.Module):
