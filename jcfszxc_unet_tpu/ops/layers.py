@@ -273,10 +273,21 @@ TRAIN_BN_ONE_PASS_STATS = True
 # re-measurement over the bf16-rounded y2 — a ~1e-3-relative-in-bf16 /
 # ~1e-7-in-f32 difference the trajectory suite bounds.  Implies one-pass
 # (E[x^2]-E[x]^2) statistics for the two tail BNs regardless of
-# TRAIN_BN_ONE_PASS_STATS.  Measured on v5e (scripts/tpu_mres_tail_fuse
-# .py, batch 128): block fwd -12%/-30% (m9/m8), fwd+bwd -4%; default set
-# by the full-model measurement in experiments_record.md round 4.
-MRES_TAIL_FOLD = True
+# TRAIN_BN_ONE_PASS_STATS.
+#
+# DEFAULT OFF — measured a LOSS in context on v5e (experiments_record.md
+# round 4): the isolated block won (tpu_mres_tail_fuse.py, batch 128:
+# fwd -12%/-30% at m9/m8, fwd+bwd -4%) but the FULL production
+# MultiResUNet train step REGRESSED 31% (79.1 -> 104.1 ms/step,
+# tpu_mres_fold_train.py; UNet control neutral).  The cross-covariance
+# reduction E[cat*sh] and its backward (full-tensor sh/N, cat/N terms
+# feeding both operands' gradient accumulations) add in-context HBM
+# passes that the isolated composite amortized — the same
+# isolated-vs-in-context trap as round 3's s2d.  Kept as an
+# exactness-pinned alternative (tests/test_mres_fold.py): checkpoints
+# are identical either way and the balance could differ on other TPU
+# generations.
+MRES_TAIL_FOLD = False
 
 
 class _TorchBatchNorm(nn.Module):
