@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import argparse
 import logging
+import math
 import os
 
 import jax
@@ -65,6 +66,8 @@ def bn_saturation_signature(dice_history, mean_prob=None,
     """
     if len(dice_history) < 2 or dice_history[-1] > floor:
         return False
+    if not all(math.isfinite(d) for d in dice_history):
+        return False  # NaN dices are the NaN-guard's domain, not BN lag
     if dice_history[-2] <= floor:
         return False  # already collapsed — warned at the transition
     if max(dice_history[:-1]) < peak:
@@ -297,7 +300,9 @@ def train_model(
                 logging.warning(
                     f"Validation Dice collapsed to {dice:.3f} after "
                     f"reaching {max(dice_history[:-1]):.3f} with the val "
-                    f"set's mean sigmoid output at {mean_prob:.3f} — the "
+                    "set's mean sigmoid output at "
+                    f"{'n/a' if mean_prob is None else f'{mean_prob:.3f}'}"
+                    " — the "
                     "signature of BN running-statistics lag (eval-mode "
                     "logit saturation; the train-mode forward is still "
                     "learning)."

@@ -133,6 +133,11 @@ def main():
                          "core — deviation applied to BOTH arms equally)")
     ap.add_argument("--val", type=float, default=25.0)
     ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--seeds", default=None,
+                    help="comma list of seeds for replicate arms (default: "
+                         "just --seed).  Seed 42 keeps the legacy tag "
+                         "<Model>_<lr>_<fw>; other seeds append _s<seed> "
+                         "so replicates merge into the same results file")
     ap.add_argument("--img", type=int, default=128)
     ap.add_argument("--n-train", type=int, default=12)
     ap.add_argument("--n-test", type=int, default=3)
@@ -202,11 +207,11 @@ def main():
         with open(out_json) as f:
             results = json.load(f)
 
-    def ref_epoch_count(model, lr):
-        """Epoch count of the same (model, lr) reference arm, for
+    def ref_epoch_count(model, lr, seed):
+        """Epoch count of the same (model, lr, seed) reference arm, for
         --match-epochs: prefer this sweep's row, else parse the workdir's
         previous run log."""
-        tag = f"{model.split('.')[-1]}_{lr}_ref"
+        tag = f"{model.split('.')[-1]}_{lr}{_seed_sfx(seed)}_ref"
         for r in results:
             if r["tag"] == tag and r.get("n_epochs"):
                 return r["n_epochs"]
@@ -214,17 +219,24 @@ def main():
         if os.path.isfile(log):
             return len(parse_train_log(log)) or None
         return None
+
+    def _seed_sfx(seed):
+        return "" if seed == 42 else f"_s{seed}"
+
+    seeds = ([int(s) for s in args.seeds.split(",")] if args.seeds
+             else [args.seed])
     for model in args.models.split(","):
+      for seed in seeds:
         for lr in args.lrs.split(","):
             for fw in args.frameworks.split(","):
-                tag = f"{model.split('.')[-1]}_{lr}_{fw}"
+                tag = f"{model.split('.')[-1]}_{lr}{_seed_sfx(seed)}_{fw}"
                 rundir = os.path.join(wd, "runs", tag)
                 os.makedirs(rundir, exist_ok=True)
                 os.makedirs(os.path.join(rundir, "demo"), exist_ok=True)
                 os.makedirs(os.path.join(rundir, "visualizations"),
                             exist_ok=True)
                 row = {"model": model, "lr": float(lr), "framework": fw,
-                       "tag": tag}
+                       "seed": seed, "tag": tag}
 
                 if args.reuse:
                     prev = next((r for r in results if r["tag"] == tag),
@@ -242,7 +254,7 @@ def main():
                         sys.executable, os.path.join(REF, "train.py"),
                         "-d", train_h5, "-b", str(args.batch), "-l", lr,
                         "-p", str(args.patch), "-s", str(args.steps),
-                        "-v", str(args.val), "--seed", str(args.seed),
+                        "-v", str(args.val), "--seed", str(seed),
                         "-esp", str(args.esp),
                     ]
                     if model != "UNet.UNet":
@@ -283,15 +295,24 @@ def main():
                         sys.executable, os.path.join(REPO, "train.py"),
                         "-d", train_h5, "-b", str(args.batch), "-l", lr,
                         "-p", str(args.patch), "-s", str(args.steps),
-                        "-v", str(args.val), "--seed", str(args.seed),
+                        "-v", str(args.val), "--seed", str(seed),
                         "-esp", str(args.esp), "--model", model,
                         "--dtype", "float32",
                     ]
                     if args.match_epochs:
-                        cap = ref_epoch_count(model, lr)
+                        cap = ref_epoch_count(model, lr, seed)
                         if cap:
                             train_cmd += ["--max-epochs", str(cap)]
                             row["max_epochs_matched"] = cap
+                        else:
+                            print(f"[{tag}] WARNING: --match-epochs set "
+                                  "but no finished reference arm found "
+                                  f"for (model={model}, lr={lr}, "
+                                  f"seed={seed}) — running uncapped; the "
+                                  "arms may cover different epoch "
+                                  "windows (run ref arms first)",
+                                  flush=True)
+                            row["max_epochs_matched"] = None
                     eval_cmd = [
                         sys.executable, os.path.join(REPO, "evaluate.py"),
                         "-m", os.path.join(rundir, "best_model.ckpt"),

@@ -22,7 +22,6 @@ import flax
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from jcfszxc_unet_tpu.ops import layers
 from jcfszxc_unet_tpu.ops.blocks import Multiresblock
@@ -80,25 +79,27 @@ def test_eval_mode_is_identical_regardless_of_flag():
     np.testing.assert_array_equal(np.asarray(out_f), np.asarray(out_p))
 
 
-@pytest.mark.parametrize("fold", [True, False])
-def test_s2d_path_unaffected_by_flag(fold):
-    # phase_groups > 1 must take the plain tail either way
-    old = layers.MRES_TAIL_FOLD
-    layers.MRES_TAIL_FOLD = fold
-    try:
-        m = Multiresblock(16, 32, dtype=jnp.float32, s2d=True)
-        x = jnp.asarray(np.random.RandomState(0).randn(2, 16, 16, 16) * 0.5,
-                        jnp.float32)
-        variables = m.init({"params": jax.random.PRNGKey(0)}, x, train=False)
-        out, _ = m.apply(variables, x, train=True, mutable=["batch_stats"])
-        outs = np.asarray(out)
-    finally:
-        layers.MRES_TAIL_FOLD = old
-    if fold:
-        test_s2d_path_unaffected_by_flag.cache = outs
-    else:
-        np.testing.assert_array_equal(
-            test_s2d_path_unaffected_by_flag.cache, outs)
+def test_s2d_path_unaffected_by_flag():
+    # phase_groups > 1 must take the plain tail either way; compute both
+    # flag settings in one test so the comparison cannot depend on
+    # parametrize ordering (pytest-randomly / -k selection safe)
+    def run(fold):
+        old = layers.MRES_TAIL_FOLD
+        layers.MRES_TAIL_FOLD = fold
+        try:
+            m = Multiresblock(16, 32, dtype=jnp.float32, s2d=True)
+            x = jnp.asarray(
+                np.random.RandomState(0).randn(2, 16, 16, 16) * 0.5,
+                jnp.float32)
+            variables = m.init({"params": jax.random.PRNGKey(0)}, x,
+                               train=False)
+            out, _ = m.apply(variables, x, train=True,
+                             mutable=["batch_stats"])
+            return np.asarray(out)
+        finally:
+            layers.MRES_TAIL_FOLD = old
+
+    np.testing.assert_array_equal(run(True), run(False))
 
 
 def test_three_step_gradient_trajectory_stays_close():
