@@ -142,6 +142,14 @@ def main():
             result["zoo_min_img_per_sec"] = round(min(zoo.values()), 1)
     except Exception:
         pass  # likewise
+    try:
+        zt = zoo_train_bench(jax, jnp)
+        if zt:
+            result["zoo_train_patches_per_sec"] = zt
+            result["zoo_min_train_patches_per_sec"] = round(
+                min(zt.values()), 1)
+    except Exception:
+        pass  # likewise
     print(json.dumps(result))
 
 
@@ -201,15 +209,14 @@ def zoo_bench(jax, jnp):
     return out
 
 
-def train_bench(jax, jnp):
-    """UNet production-train-step throughput (patches/s) + MFU, batch 128.
-
-    Exactly the production per-step math (on-device sampling +
-    make_batch_step_fn: fwd/bwd + RMSprop + NaN guard), chained inside ONE
-    jitted fori_loop whose trip count is a TRACED scalar — one compile
-    serves both the n=1 and n=N timing calls (two separately-compiled
-    scans measured >25 min of remote compile through this image's relay).
-    """
+def _train_step_seconds(jax, jnp, model_name, model_kwargs, batch, n_long,
+                        want_flops=False):
+    """Per-step seconds of the PRODUCTION train step (on-device sampling +
+    make_batch_step_fn: fwd/bwd + RMSprop + NaN guard) for one model,
+    chained inside ONE jitted fori_loop whose trip count is a TRACED
+    scalar — one compile serves both the n=1 and n=N timing calls (two
+    separately-compiled scans measured >25 min of remote compile through
+    this image's relay).  Returns (seconds_per_step, flops_or_None)."""
     from jcfszxc_unet_tpu.data.sampler import build_train_sample_map, sample_batch
     from jcfszxc_unet_tpu.models import create_model
     from jcfszxc_unet_tpu.train.optim import make_optimizer
@@ -223,7 +230,7 @@ def train_bench(jax, jnp):
     smap = jnp.asarray(build_train_sample_map(
         np.ones((2, pool_hw, pool_hw), np.float32), PATCH // 2))
 
-    model = create_model("UNet.UNet", dtype=jnp.bfloat16)
+    model = create_model(model_name, dtype=jnp.bfloat16, **model_kwargs)
     tx = make_optimizer(1e-4)
     state = create_train_state(model, tx, jax.random.PRNGKey(0),
                                jnp.zeros((1, PATCH, PATCH, 3), jnp.bfloat16))
@@ -236,37 +243,76 @@ def train_bench(jax, jnp):
             state, total = carry
             k_sample, k_drop = jax.random.split(jax.random.fold_in(key, i))
             imgs, labs = sample_batch(k_sample, images, labels, smap,
-                                      TRAIN_BATCH, PATCH)
+                                      batch, PATCH)
             state, loss, ok = batch_step(state, imgs, labs, k_drop)
             return state, total + loss
         state, total = jax.lax.fori_loop(0, n, body, (state, jnp.zeros(())))
         return state, total
 
     flops = None
-    try:
-        ca = run_n.lower(state, jnp.int32(1),
-                         jax.random.PRNGKey(1)).compile().cost_analysis()
-        if isinstance(ca, list):
-            ca = ca[0]
-        flops = float(ca.get("flops", 0.0)) or None
-    except Exception:
-        pass
+    if want_flops:
+        try:
+            ca = run_n.lower(state, jnp.int32(1),
+                             jax.random.PRNGKey(1)).compile().cost_analysis()
+            if isinstance(ca, list):
+                ca = ca[0]
+            flops = float(ca.get("flops", 0.0)) or None
+        except Exception:
+            pass
 
     def run(n):
         _, total = run_n(state, jnp.int32(n), jax.random.PRNGKey(1))
         return float(total)
 
     run(1)
-    run(TRAIN_N_LONG)  # compile (one executable) + warm
+    run(n_long)  # compile (one executable) + warm
     t0 = time.perf_counter()
     run(1)
     t1 = time.perf_counter() - t0
     t0 = time.perf_counter()
-    run(TRAIN_N_LONG)
+    run(n_long)
     t2 = time.perf_counter() - t0
-    per = (t2 - t1) / (TRAIN_N_LONG - 1)
+    return (t2 - t1) / (n_long - 1), flops
+
+
+def train_bench(jax, jnp):
+    """UNet production-train-step throughput (patches/s) + MFU, batch 128
+    (train.py:47-416 is the reference's primary loop)."""
+    per, flops = _train_step_seconds(jax, jnp, "UNet.UNet", {},
+                                     TRAIN_BATCH, TRAIN_N_LONG,
+                                     want_flops=True)
     mfu = flops / per / (PEAK_TFLOPS * 1e12) * 100.0 if flops else None
     return TRAIN_BATCH / per, mfu
+
+
+# Driver-visible zoo TRAIN throughput (VERDICT r4 item 5): the train-side
+# slow tail was only measured in scripts/ (tpu_zoo_train_bench.py), so a
+# train-step regression in the ConvLSTM gate split, the dense-skip
+# plumbing, the one-pass BN or the full-res grid would never reach
+# BENCH_r*.json.  One model per archetype, production step, smaller
+# batch/N than the headline (four extra fwd+bwd compiles ride the
+# driver's bench budget; the persistent compile cache amortizes repeats).
+ZOO_TRAIN_MODELS = (
+    ("MultiResUNet.MultiResUNet", {}),
+    ("UNetPP.NestedUNet", {}),
+    ("BCDUNet.BCDU_net_D3", {"N": PATCH}),
+    ("FRUNet.FRUNet", {}),
+)
+ZOO_TRAIN_BATCH = int(os.environ.get("BENCH_ZOO_TRAIN_BATCH", "64"))
+ZOO_TRAIN_N_LONG = int(os.environ.get("BENCH_ZOO_TRAIN_N", "6"))
+
+
+def zoo_train_bench(jax, jnp):
+    """Per-archetype production train-step patches/s (batch 64)."""
+    out = {}
+    for name, kwargs in ZOO_TRAIN_MODELS:
+        try:
+            per, _ = _train_step_seconds(jax, jnp, name, kwargs,
+                                         ZOO_TRAIN_BATCH, ZOO_TRAIN_N_LONG)
+            out[name.split(".")[-1]] = round(ZOO_TRAIN_BATCH / per, 1)
+        except Exception:
+            continue  # one model's fault must not hide the others
+    return out
 
 
 if __name__ == "__main__":

@@ -27,6 +27,8 @@ def test_bench_emits_one_json_line_with_both_workloads():
         "BENCH_TRAIN_N": "2",
         "BENCH_ZOO_BATCH": "2",
         "BENCH_ZOO_N": "2",
+        "BENCH_ZOO_TRAIN_BATCH": "2",
+        "BENCH_ZOO_TRAIN_N": "2",
     })
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
@@ -51,3 +53,10 @@ def test_bench_emits_one_json_line_with_both_workloads():
         "MultiResUNet", "NestedUNet", "BCDU_net_D3"}
     assert rec["zoo_min_img_per_sec"] > 0
     assert rec["zoo_min_img_per_sec"] == min(rec["zoo_img_per_sec"].values())
+    # train-side zoo visibility (VERDICT r4 item 5): production train
+    # step per archetype, so a train regression reaches BENCH_r*.json
+    assert set(rec["zoo_train_patches_per_sec"]) == {
+        "MultiResUNet", "NestedUNet", "BCDU_net_D3", "FRUNet"}
+    assert rec["zoo_min_train_patches_per_sec"] > 0
+    assert rec["zoo_min_train_patches_per_sec"] == min(
+        rec["zoo_train_patches_per_sec"].values())
